@@ -1,0 +1,46 @@
+"""rindex_spark — a PySpark-native spatial-join + kNN-graph engine.
+
+A from-scratch distributed re-architecture of the capabilities of
+azizkayumov/rindex (an SS/RdNN-tree dynamic kNN-graph library, see
+/root/reference/lib/src/rindex.rs): instead of a mutable in-memory tree,
+the engine indexes points on a flat integer cell grid (H3/S2-style, but
+zero-dependency), expresses every query as DataFrame joins + window
+top-k, and maintains the kNN graph incrementally over insert/delete
+micro-batches.
+
+Public surface (reference parity, SURVEY.md §2):
+  - build_knn_graph / knn_for_queries  (insert-time kNN maintenance +
+    query_neighbors, rindex.rs:92-109 / :197-214)
+  - range_join                         (query, rindex.rs:153-180)
+  - reverse_knn                        (query_reverse, rindex.rs:231-241)
+  - neighbors_of / knn_dist_of         (rindex.rs:272-288 / :306-313)
+  - cell_stats / index_stats           (debug dump, rindex.rs:349-360)
+  - apply_ops_batches                  (insert/delete, rindex.rs:92-135)
+plus the training-data pipeline layer: dedup (exact / minhash-LSH /
+simhash / n-gram jaccard / embedding), ANN search, text analysis,
+multimodal plumbing, tiling (point-in-polygon).
+"""
+
+from rindex_spark.config import EngineConfig, GridSpec
+from rindex_spark.grid import infer_grid
+from rindex_spark.operators.knn import build_knn_graph, knn_for_queries
+from rindex_spark.operators.range_query import range_join
+from rindex_spark.operators.rknn import reverse_knn
+from rindex_spark.operators.stats import cell_stats, index_stats, knn_dist_of, neighbors_of
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "EngineConfig",
+    "GridSpec",
+    "infer_grid",
+    "build_knn_graph",
+    "knn_for_queries",
+    "range_join",
+    "reverse_knn",
+    "cell_stats",
+    "index_stats",
+    "knn_dist_of",
+    "neighbors_of",
+    "__version__",
+]

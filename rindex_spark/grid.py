@@ -1,0 +1,145 @@
+"""Flat integer cell grid — the distributed replacement for the
+reference's bounding-sphere tree (rindex.rs / node.rs / sphere.rs).
+
+All helpers are pure Spark column expressions (JVM-side, whole-stage
+codegen) — no UDFs.  The grid supplies exactly the three primitives the
+engine needs (SURVEY.md §7.0):
+
+  * ``encode(x, y) -> (ix, iy)``            cell assignment
+  * covering block / ring explode            candidate generation
+  * ``cell_min_dist(cell, point)``           lower bound for pruning,
+    the analogue of ``Sphere::min_distance`` (sphere.rs:28-31)
+
+Key geometric invariant used for exact-kNN termination (the Spark
+analogue of the best-first bound at rindex.rs:800-802): for a point p
+in cell (ix, iy), every point in a cell at Chebyshev ring > R is at
+Euclidean distance >= lb(p, R) where lb is the minimum of the four
+axis gaps to the ring-R block boundary; and lb(p, R) >= R * cell_size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from rindex_spark.config import EngineConfig, GridSpec
+
+
+def infer_grid(points: DataFrame, cfg: EngineConfig, x: str = "x", y: str = "y") -> GridSpec:
+    """Choose a cell size so the mean occupied-area cell holds roughly
+    ``cfg.target_per_cell`` points — the layout-quality decision that the
+    reference makes via fanout + max-variance splits (rindex.rs:636-713).
+
+    One tiny aggregate job; everything else stays lazy.
+    """
+    row = points.agg(
+        F.min(x).alias("xmin"),
+        F.max(x).alias("xmax"),
+        F.min(y).alias("ymin"),
+        F.max(y).alias("ymax"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    n = row["n"] or 0
+    if n == 0:
+        return GridSpec(cell_size=1.0)
+    ex = max(row["xmax"] - row["xmin"], 1e-9)
+    ey = max(row["ymax"] - row["ymin"], 1e-9)
+    # cells ≈ n / target  =>  cs = sqrt(area * target / n)
+    cs = (ex * ey * cfg.target_per_cell / n) ** 0.5
+    cs = max(cs, 1e-9)
+    return GridSpec(cell_size=cs, x0=float(row["xmin"]), y0=float(row["ymin"]))
+
+
+def cell_ix(spec: GridSpec, x: Column) -> Column:
+    return F.floor((x - F.lit(spec.x0)) / F.lit(spec.cell_size)).cast("long")
+
+
+def with_cells(
+    df: DataFrame, spec: GridSpec, x: str = "x", y: str = "y", prefix: str = ""
+) -> DataFrame:
+    """Add integer cell coordinates ``{prefix}ix, {prefix}iy``."""
+    return df.withColumn(f"{prefix}ix", cell_ix(spec, F.col(x))).withColumn(
+        f"{prefix}iy", cell_ix(spec, F.col(y))
+    )
+
+
+def explode_block(
+    df: DataFrame, radius: Column, qix: str = "qix", qiy: str = "qiy"
+) -> DataFrame:
+    """Explode each row to every cell in its Chebyshev block of the given
+    per-row radius: (2R+1)^2 rows with columns ``cix, ciy``.
+
+    Pure ``sequence`` + ``explode`` — candidate-cell generation without
+    any Python.  This is the covering-cells step of filter-and-refine.
+    """
+    r = radius.cast("long")
+    out = df.withColumn("cix", F.explode(F.sequence(F.col(qix) - r, F.col(qix) + r)))
+    out = out.withColumn("ciy", F.explode(F.sequence(F.col(qiy) - r, F.col(qiy) + r)))
+    return out
+
+
+def explode_annulus(
+    df: DataFrame,
+    r_lo: Column,
+    r_hi: Column,
+    qix: str = "qix",
+    qiy: str = "qiy",
+) -> DataFrame:
+    """Explode each row to cells with Chebyshev ring distance in
+    (r_lo, r_hi] — the incremental frontier of ring expansion, so a
+    query never re-scans cells it already visited (mirrors the
+    visited-ordering of rindex.rs:785-802 best-first descent).
+    """
+    hi = r_hi.cast("long")
+    out = df.withColumn("_rlo", r_lo.cast("long")).withColumn("_rhi", hi)
+    out = out.withColumn(
+        "cix", F.explode(F.sequence(F.col(qix) - F.col("_rhi"), F.col(qix) + F.col("_rhi")))
+    )
+    out = out.withColumn(
+        "ciy", F.explode(F.sequence(F.col(qiy) - F.col("_rhi"), F.col(qiy) + F.col("_rhi")))
+    )
+    cheb = F.greatest(
+        F.abs(F.col("cix") - F.col(qix)), F.abs(F.col("ciy") - F.col(qiy))
+    )
+    return out.filter(cheb > F.col("_rlo")).drop("_rlo", "_rhi")
+
+
+def ring_lower_bound(
+    spec: GridSpec,
+    x: Column,
+    y: Column,
+    qix: Column,
+    qiy: Column,
+    r: Column,
+) -> Column:
+    """Exact per-point lower bound on the distance from (x, y) to any
+    point lying in a cell with Chebyshev ring distance > r.
+
+    Any such cell differs by >= r+1 in at least one axis, so its
+    distance is at least the smallest axis gap to the ring-r block
+    boundary.  This is the termination test of exact kNN ring expansion
+    (the `min_distance < kth` invariant of rindex.rs:800-802).
+    """
+    cs = F.lit(spec.cell_size)
+    x0 = F.lit(spec.x0)
+    y0 = F.lit(spec.y0)
+    gap_left = x - (x0 + (qix - r).cast("double") * cs)
+    gap_right = (x0 + (qix + r + F.lit(1)).cast("double") * cs) - x
+    gap_down = y - (y0 + (qiy - r).cast("double") * cs)
+    gap_up = (y0 + (qiy + r + F.lit(1)).cast("double") * cs) - y
+    return F.least(gap_left, gap_right, gap_down, gap_up)
+
+
+def cell_min_dist(
+    spec: GridSpec, cix: Column, ciy: Column, qx: Column, qy: Column
+) -> Column:
+    """Lower bound on distance from query point (qx, qy) to any point in
+    cell (cix, ciy) — the analogue of ``Sphere::min_distance``
+    (sphere.rs:28-31), used for RkNN cell pruning (rindex.rs:826-829).
+    """
+    cs = F.lit(spec.cell_size)
+    cx_lo = F.lit(spec.x0) + cix.cast("double") * cs
+    cy_lo = F.lit(spec.y0) + ciy.cast("double") * cs
+    dx = F.greatest(cx_lo - qx, qx - (cx_lo + cs), F.lit(0.0))
+    dy = F.greatest(cy_lo - qy, qy - (cy_lo + cs), F.lit(0.0))
+    return F.sqrt(dx * dx + dy * dy)

@@ -1,0 +1,66 @@
+"""Range (radius) query — reference ``query`` (rindex.rs:153-180).
+
+Semantics: all points with ``dist(p, q) <= radius`` (INCLUSIVE,
+rindex.rs:162,170), result ordered ascending by distance (:176).
+
+Distributed shape: the classic filter-and-refine spatial join.
+Each query generates its covering cell block (Chebyshev radius
+``ceil(r / cell_size)``) via pure sequence/explode column exprs, then an
+equi-join on (cell_x, cell_y) against the points and an exact distance
+refine.  Catalyst sees an equi-join -> shuffle-hash/sort-merge with AQE;
+the covering-cells step is the partition pruning the reference does with
+sphere ``min_distance`` bounds (rindex.rs:162-173).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rindex_spark.config import EngineConfig, GridSpec
+from rindex_spark.functions.distance import euclidean
+from rindex_spark.grid import explode_block, infer_grid, with_cells
+
+
+def range_join(
+    points: DataFrame,
+    queries: DataFrame,
+    spec: GridSpec | None = None,
+    cfg: EngineConfig | None = None,
+) -> DataFrame:
+    """points: (id, x, y); queries: (qid, x, y, radius).
+
+    returns (qid, id, dist) with dist <= radius, ascending by
+    (dist, id) within each qid (deterministic tie-break; the reference
+    sorts by distance only, ties arbitrary, rindex.rs:176).
+    """
+    cfg = cfg or EngineConfig()
+    if spec is None:
+        spec = infer_grid(points, cfg)
+
+    pts = with_cells(points.select("id", "x", "y"), spec)
+    q = with_cells(
+        queries.select(
+            "qid", F.col("x").alias("qx"), F.col("y").alias("qy"), "radius"
+        ),
+        spec,
+        x="qx",
+        y="qy",
+        prefix="q",
+    )
+    # covering Chebyshev radius: any point within `radius` of q lies in a
+    # cell at most ceil(r/cs) away from q's cell.
+    rad_cells = F.ceil(F.col("radius") / F.lit(spec.cell_size))
+    cand_cells = explode_block(q, rad_cells)
+    joined = cand_cells.join(
+        pts,
+        (F.col("cix") == F.col("ix")) & (F.col("ciy") == F.col("iy")),
+        "inner",
+    )
+    dist = euclidean(F.col("qx"), F.col("qy"), F.col("x"), F.col("y"))
+    return (
+        joined.select("qid", "id", dist.alias("dist"), "radius")
+        .filter(F.col("dist") <= F.col("radius"))
+        .select("qid", "id", "dist")
+        .orderBy("qid", "dist", "id")
+    )

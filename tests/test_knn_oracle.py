@@ -1,0 +1,183 @@
+"""Randomized + scenario oracle tests, mirroring the reference's own
+definition of correctness:
+
+* lib/tests/graph.rs:7-73 — every live point's kNN distances must match
+  a brute-force oracle (tolerance 1e-5 there; we assert 1e-9 and exact
+  id sets off tie boundaries).
+* lib/src/rindex.rs:993-1030 — the vertical-line knn_dist scenario.
+* lib/src/rindex.rs:1032-1069 — range result == kNN result with
+  k = |range result| on the 0..100 diagonal.
+* lib/src/rindex.rs:1071-1089 — RkNN distances on the diagonal.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from rindex_spark.config import EngineConfig, GridSpec
+from rindex_spark.grid import infer_grid
+from rindex_spark.operators.knn import build_knn_graph, knn_for_queries
+from rindex_spark.operators.range_query import range_join
+from rindex_spark.operators.rknn import reverse_knn
+from rindex_spark.operators.stats import knn_dist
+
+from tests.conftest import brute_knn
+
+
+def make_points(spark, coords, ids=None):
+    ids = ids if ids is not None else range(len(coords))
+    rows = [(int(i), float(x), float(y)) for i, (x, y) in zip(ids, coords)]
+    return spark.createDataFrame(rows, "id long, x double, y double")
+
+
+def check_graph_vs_oracle(graph_rows, oracle, tol=1e-9):
+    by_src: dict[int, list] = {}
+    for r in graph_rows:
+        by_src.setdefault(r["src"], []).append((r["dist"], r["dst"], r["rank"]))
+    assert set(by_src) == set(oracle)
+    for src, got in by_src.items():
+        got.sort(key=lambda t: t[2])
+        exp = oracle[src]
+        assert len(got) == len(exp), f"src {src}: {len(got)} != {len(exp)}"
+        # distance multisets must match exactly (reference compares
+        # distances, graph.rs:60-67); ids compared off tie boundaries
+        for (gd, gid, _), (ed, eid) in zip(got, exp):
+            assert gd == pytest.approx(ed, abs=tol), f"src {src}"
+        for (gd, gid, _), (ed, eid) in zip(got, exp):
+            # unique-distance positions must agree on id too
+            dists = [e[0] for e in exp]
+            if dists.count(ed) == 1:
+                assert gid == eid, f"src {src} dist {ed}"
+
+
+@pytest.mark.parametrize("dist_kind", ["uniform", "clustered"])
+def test_knn_graph_vs_bruteforce(spark, dist_kind):
+    rng = np.random.default_rng(0)
+    if dist_kind == "uniform":
+        # matches the reference's randomized workload domain
+        # (lib/tests/random.rs:24-25): uniform in [-100, 100)^2
+        coords = rng.uniform(-100.0, 100.0, size=(300, 2))
+    else:
+        # 3 Gaussian clusters sized like demo/data/sparse.csv (108/176/190)
+        cs = [
+            rng.normal((60.0, 60.0), 8.0, size=(108, 2)),
+            rng.normal((-50.0, 10.0), 12.0, size=(176, 2)),
+            rng.normal((20.0, -70.0), 5.0, size=(190, 2)),
+        ]
+        coords = np.concatenate(cs)
+    k = 10
+    pts = make_points(spark, coords).cache()
+    graph = build_knn_graph(pts, k)
+    oracle = brute_knn(coords, np.arange(len(coords)), k)
+    check_graph_vs_oracle(graph.collect(), oracle)
+
+
+def test_knn_graph_with_duplicate_points(spark):
+    # duplicate coordinates: distance ties at 0.0; identity is positional
+    # in the reference (index.rs slot ids) — ours is the id column.
+    coords = [(1.0, 1.0), (1.0, 1.0), (1.0, 1.0), (5.0, 5.0)]
+    pts = make_points(spark, coords)
+    graph = build_knn_graph(pts, 2, spec=GridSpec(cell_size=1.0))
+    rows = graph.filter("src = 1").orderBy("rank").collect()
+    # rank 1 must be dist 0.0 (self or co-located twin — tie broken by id)
+    assert rows[0]["dist"] == 0.0 and rows[1]["dist"] == 0.0
+    assert {r["dst"] for r in rows} <= {0, 1, 2}
+
+
+def test_vertical_line_knn_dist(spark):
+    # rindex.rs:993-1030, k=5 (includes self)
+    k = 5
+    pts5 = make_points(spark, [(0.0, 1.0), (0.0, 2.0), (0.0, 3.0), (0.0, 4.0), (0.0, 5.0)])
+    g = build_knn_graph(pts5, k, spec=GridSpec(cell_size=1.0))
+    kd = {r["id"]: r["knn_dist"] for r in knn_dist(g, k).collect()}
+    assert kd == {0: 4.0, 1: 3.0, 2: 2.0, 3: 3.0, 4: 4.0}
+
+    pts6 = make_points(
+        spark, [(0.0, 1.0), (0.0, 2.0), (0.0, 3.0), (0.0, 4.0), (0.0, 5.0), (0.0, 6.0)]
+    )
+    g6 = build_knn_graph(pts6, k, spec=GridSpec(cell_size=1.0))
+    kd6 = {r["id"]: r["knn_dist"] for r in knn_dist(g6, k).collect()}
+    assert kd6 == {0: 4.0, 1: 3.0, 2: 2.0, 3: 2.0, 4: 3.0, 5: 4.0}
+
+    # delete a ([0,1]) — remaining distances (rindex.rs:1025-1029)
+    g5 = build_knn_graph(pts6.filter("id != 0"), k, spec=GridSpec(cell_size=1.0))
+    kd5 = {r["id"]: r["knn_dist"] for r in knn_dist(g5, k).collect()}
+    assert kd5 == {1: 4.0, 2: 3.0, 3: 2.0, 4: 3.0, 5: 4.0}
+
+
+def test_diagonal_range_knn_consistency(spark):
+    # rindex.rs:1032-1069: range((50,50), 5) == kNN with k = |range|
+    coords = [(float(i), float(i)) for i in range(100)]
+    pts = make_points(spark, coords).cache()
+    q = spark.createDataFrame(
+        [(0, 50.0, 50.0, 5.0)], "qid long, x double, y double, radius double"
+    )
+    spec = infer_grid(pts, EngineConfig())
+    rng_ids = sorted(r["id"] for r in range_join(pts, q, spec=spec).collect())
+    expected = [i for i in range(100) if math.dist((i, i), (50, 50)) <= 5.0]
+    assert rng_ids == expected
+
+    qk = spark.createDataFrame([(0, 50.0, 50.0)], "qid long, x double, y double")
+    knn_ids = sorted(
+        r["id"] for r in knn_for_queries(pts, qk, len(rng_ids), spec=spec).collect()
+    )
+    assert knn_ids == expected
+
+
+def test_diagonal_reverse_query(spark):
+    # rindex.rs:1071-1089: RkNN((50,50)) distances = [0, √2, √2, √8, √8]
+    k = 5
+    coords = [(float(i), float(i)) for i in range(100)]
+    pts = make_points(spark, coords).cache()
+    spec = infer_grid(pts, EngineConfig())
+    graph = build_knn_graph(pts, k, spec=spec)
+    q = spark.createDataFrame([(0, 50.0, 50.0)], "qid long, x double, y double")
+    rows = reverse_knn(pts, graph, q, k, spec=spec).collect()
+    dists = [r["dist"] for r in rows]
+    assert len(dists) == 5
+    assert dists[0] == 0.0
+    assert dists[1] == pytest.approx(math.sqrt(2), abs=1e-12)
+    assert dists[2] == pytest.approx(math.sqrt(2), abs=1e-12)
+    assert dists[3] == pytest.approx(math.sqrt(8), abs=1e-12)
+    assert dists[4] == pytest.approx(math.sqrt(8), abs=1e-12)
+
+
+def test_rknn_vs_bruteforce(spark):
+    rng = np.random.default_rng(7)
+    coords = rng.uniform(-100.0, 100.0, size=(200, 2))
+    k = 10
+    pts = make_points(spark, coords).cache()
+    spec = infer_grid(pts, EngineConfig())
+    graph = build_knn_graph(pts, k, spec=spec)
+    qpts = rng.uniform(-100.0, 100.0, size=(5, 2))
+    q = spark.createDataFrame(
+        [(i, float(x), float(y)) for i, (x, y) in enumerate(qpts)],
+        "qid long, x double, y double",
+    )
+    got = reverse_knn(pts, graph, q, k, spec=spec).collect()
+    by_q: dict[int, set] = {}
+    for r in got:
+        by_q.setdefault(r["qid"], set()).add(r["id"])
+    oracle = brute_knn(coords, np.arange(len(coords)), k)
+    for qi, qp in enumerate(qpts):
+        exp = set()
+        for pid, nbrs in oracle.items():
+            kth = nbrs[-1][0] if len(nbrs) == k else float("inf")
+            if math.dist(coords[pid], qp) <= kth:
+                exp.add(pid)
+        assert by_q.get(qi, set()) == exp
+
+
+def test_knn_queries_far_outside_extent(spark):
+    # a query far from the data must still be exact (ring backstop)
+    coords = [(float(i % 10), float(i // 10)) for i in range(100)]
+    pts = make_points(spark, coords)
+    q = spark.createDataFrame([(0, 500.0, 500.0)], "qid long, x double, y double")
+    rows = knn_for_queries(pts, q, 3, spec=GridSpec(cell_size=1.0)).orderBy("rank").collect()
+    # nearest to (500,500) is (9,9) = id 99, then (8,9)=98 / (9,8)=89
+    assert rows[0]["id"] == 99
+    assert {rows[1]["id"], rows[2]["id"]} == {89, 98}
