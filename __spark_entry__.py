@@ -1,38 +1,401 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship kNN-graph build on sf0.001.
+``queries()``    — one entry per implemented operator (SURVEY.md §2 +
+                   the training-data pipeline layer).
+``oracle_sql()`` — DuckDB-runnable ANSI SQL equivalents.  Derived
+                   spatial points use integer-modular coordinates so
+                   Spark and DuckDB compute bit-identical doubles; all
+                   float expressions mirror the engine's IEEE op order
+                   exactly.
+Ops that are not SQL-expressible (LSH/minhash/simhash signatures,
+language ID, multimodal decode) have queries() entries without oracles
+(driver records rows-only checks).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from rindex_spark.config import EngineConfig, GridSpec  # noqa: E402
+from rindex_spark.functions.text import fingerprint, lang_id, with_text_stats  # noqa: E402
+from rindex_spark.grid import with_cells  # noqa: E402
+from rindex_spark.operators.ann import cosine_topk, lsh_cosine_topk  # noqa: E402
+from rindex_spark.operators.dedup import (  # noqa: E402
+    dedup_exact,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from rindex_spark.operators.knn import build_knn_graph, knn_for_queries  # noqa: E402
+from rindex_spark.operators.multimodal import extract_features, generate_media  # noqa: E402
+from rindex_spark.operators.range_query import range_join  # noqa: E402
+from rindex_spark.operators.rknn import reverse_knn  # noqa: E402
+from rindex_spark.operators.stats import knn_dist  # noqa: E402
+from rindex_spark.operators.tiling import assign_tiles  # noqa: E402
+from rindex_spark.datagen import generate_tiles  # noqa: E402
+from rindex_spark.plans.batches import apply_batch, empty_state  # noqa: E402
+
+K = 10
+
+# deterministic planar points from the documents table: integer-modular
+# arithmetic keeps Spark and DuckDB bit-identical (BIGINT ops + one
+# exact double division).
+_PTS_SQL = (
+    "SELECT doc_id AS id, "
+    "((doc_id*7919)%20000)/100.0 - 100.0 AS x, "
+    "((doc_id*104729)%20000)/100.0 - 100.0 AS y FROM documents"
+)
+_DIST_SQL = "sqrt((p.x-q.x)*(p.x-q.x) + (p.y-q.y)*(p.y-q.y))"
+
+# fixed grid for oracle-checkable cell stats / tiling
+_SPEC = GridSpec(cell_size=20.0, x0=-100.0, y0=-100.0)
+_TILE_R = 23.7
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        F.col("doc_id").alias("id"),
+        (((F.col("doc_id") * 7919) % 20000) / 100.0 - 100.0).alias("x"),
+        (((F.col("doc_id") * 104729) % 20000) / 100.0 - 100.0).alias("y"),
+    )
+
+
+def _queries_shifted(spark: SparkSession, sf_dir: str, mod: int) -> DataFrame:
+    return (
+        _points(spark, sf_dir)
+        .filter((F.col("id") % mod) == 0)
+        .select(
+            F.col("id").alias("qid"),
+            (F.col("x") + 1.5).alias("x"),
+            (F.col("y") - 2.5).alias("y"),
+        )
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: exact kNN-graph build over sf0.001-derived points."""
+    pts = _points(spark, "/root/testdata/sf0.001")
+    return build_knn_graph(pts, K)
+
+
+# ---------------------------------------------------------------------------
+# queries
+
+
+def q_knn_graph(spark, sf_dir):
+    return build_knn_graph(_points(spark, sf_dir), K)
+
+
+def q_knn_dist(spark, sf_dir):
+    g = build_knn_graph(_points(spark, sf_dir), K)
+    return knn_dist(g, K)
+
+
+def q_range_join(spark, sf_dir):
+    pts = _points(spark, sf_dir)
+    q = pts.filter((F.col("id") % 29) == 0).select(
+        F.col("id").alias("qid"),
+        "x",
+        "y",
+        (F.lit(15.0) + (F.col("id") % 7).cast("double")).alias("radius"),
+    )
+    return range_join(pts, q)
+
+
+def q_knn_query(spark, sf_dir):
+    pts = _points(spark, sf_dir)
+    q = _queries_shifted(spark, sf_dir, 41)
+    return knn_for_queries(pts, q, 7)
+
+
+def q_rknn(spark, sf_dir):
+    pts = _points(spark, sf_dir)
+    g = build_knn_graph(pts, K)
+    q = _queries_shifted(spark, sf_dir, 53)
+    return reverse_knn(pts, g, q, K, spec=None or _infer(spark, sf_dir))
+
+
+def _infer(spark, sf_dir):
+    from rindex_spark.grid import infer_grid
+
+    return infer_grid(_points(spark, sf_dir), EngineConfig(k=K))
+
+
+def q_cell_stats(spark, sf_dir):
+    pts = with_cells(_points(spark, sf_dir), _SPEC)
+    return pts.groupBy("ix", "iy").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("x").alias("min_x"),
+        F.max("x").alias("max_x"),
+        F.min("y").alias("min_y"),
+        F.max("y").alias("max_y"),
+    )
+
+
+def q_dynamic_fold(spark, sf_dir):
+    """Insert all points as batch 0, delete doc_id%5==0 as batch 1 —
+    the final incrementally-repaired graph must equal a fresh build on
+    the survivors (oracle computes the latter)."""
+    pts = _points(spark, sf_dir)
+    state = empty_state(spark, K)
+    state = apply_batch(
+        state, pts, spark.createDataFrame([], "id long"), n_deletes=0
+    )
+    dels = pts.filter((F.col("id") % 5) == 0).select("id")
+    state = apply_batch(
+        state, spark.createDataFrame([], "id long, x double, y double"), dels, n_inserts=0
+    )
+    return state.graph
+
+
+def q_pip_tiles(spark, sf_dir):
+    pts = _points(spark, sf_dir)
+    tiles = generate_tiles()
+    return assign_tiles(pts, tiles, _SPEC, inclusive_l1_diamond=_TILE_R)
+
+
+def q_text_stats(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return with_text_stats(d).select(
+        "doc_id",
+        "n_chars_calc",
+        "n_tokens",
+        "alpha_ratio",
+        "digit_ratio",
+        "punct_ratio",
+        "quality_score",
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup_exact(_docs(spark, sf_dir))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.2, n=3)
+
+
+def q_ann_cosine(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    q = emb.filter((F.col("vec_id") % 10) == 0).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    return cosine_topk(emb, q, k=5).select("qid", "neighbor_id", "rank")
+
+
+# --- non-SQL-expressible ops: rows-only checks -----------------------------
+
+
+def q_lang_detect(spark, sf_dir):
+    return _docs(spark, sf_dir).select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+
+
+def q_fingerprint(spark, sf_dir):
+    return _docs(spark, sf_dir).select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+def q_minhash_pairs(spark, sf_dir):
+    return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.2)
+
+
+def q_simhash_pairs(spark, sf_dir):
+    return simhash_pairs(_docs(spark, sf_dir), max_hamming=8)
+
+
+def q_ann_lsh(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    q = emb.filter((F.col("vec_id") % 10) == 0).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    return lsh_cosine_topk(emb, q, k=5).select("qid", "neighbor_id", "rank")
+
+
+def q_multimodal_features(spark, sf_dir):
+    media = generate_media(spark, 200)
+    return extract_features(media)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "knn_graph": q_knn_graph,
+        "knn_dist": q_knn_dist,
+        "range_join": q_range_join,
+        "knn_query": q_knn_query,
+        "rknn": q_rknn,
+        "cell_stats": q_cell_stats,
+        "dynamic_fold": q_dynamic_fold,
+        "pip_tiles": q_pip_tiles,
+        "text_stats": q_text_stats,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "ann_cosine": q_ann_cosine,
+        "lang_detect": q_lang_detect,
+        "fingerprint": q_fingerprint,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "ann_lsh": q_ann_lsh,
+        "multimodal_features": q_multimodal_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect-compatible ANSI)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    dist_pq = "sqrt((p.x-q.x)*(p.x-q.x) + (p.y-q.y)*(p.y-q.y))"
+    knn_cte = f"""
+WITH pts AS ({_PTS_SQL}),
+d AS (
+  SELECT p.id AS src, q.id AS dst, {dist_pq} AS dist
+  FROM pts p, pts q
+),
+r AS (
+  SELECT src, dst, dist,
+         row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rk
+  FROM d
+)
+"""
+    sql: dict[str, str] = {}
+    sql["knn_graph"] = (
+        knn_cte
+        + f"SELECT src, dst, dist, CAST(rk AS INT) AS rank FROM r WHERE rk <= {K}"
+    )
+    sql["knn_dist"] = (
+        knn_cte
+        + f"SELECT src AS id, max(dist) AS knn_dist FROM r WHERE rk <= {K} GROUP BY src"
+    )
+    sql["range_join"] = f"""
+WITH pts AS ({_PTS_SQL}),
+qs AS (SELECT id AS qid, x, y, 15.0 + CAST(id % 7 AS DOUBLE) AS radius FROM pts WHERE id % 29 = 0)
+SELECT q.qid, p.id, {dist_pq} AS dist
+FROM qs q, pts p
+WHERE {dist_pq} <= q.radius
+"""
+    sql["knn_query"] = f"""
+WITH pts AS ({_PTS_SQL}),
+qs AS (SELECT id AS qid, x + 1.5 AS x, y - 2.5 AS y FROM pts WHERE id % 41 = 0),
+d AS (SELECT q.qid, p.id, {dist_pq} AS dist FROM qs q, pts p),
+r AS (SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rk FROM d)
+SELECT qid, id, dist, CAST(rk AS INT) AS rank FROM r WHERE rk <= 7
+"""
+    sql["rknn"] = f"""
+WITH pts AS ({_PTS_SQL}),
+d0 AS (SELECT p.id AS src, q.id AS dst, {dist_pq} AS dist FROM pts p, pts q),
+r0 AS (SELECT src, dist, row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rk FROM d0),
+kd AS (SELECT src AS id, max(dist) AS knn_dist FROM r0 WHERE rk <= {K} GROUP BY src),
+qs AS (SELECT id AS qid, x + 1.5 AS x, y - 2.5 AS y FROM pts WHERE id % 53 = 0)
+SELECT q.qid, p.id, {dist_pq} AS dist
+FROM qs q, pts p JOIN kd ON p.id = kd.id
+WHERE {dist_pq} <= kd.knn_dist
+"""
+    sql["cell_stats"] = f"""
+WITH pts AS ({_PTS_SQL}),
+c AS (SELECT id, x, y,
+      CAST(floor((x - (-100.0)) / 20.0) AS BIGINT) AS ix,
+      CAST(floor((y - (-100.0)) / 20.0) AS BIGINT) AS iy FROM pts)
+SELECT ix, iy, count(*) AS n,
+       min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
+FROM c GROUP BY ix, iy
+"""
+    sql["dynamic_fold"] = f"""
+WITH pts AS ({_PTS_SQL}),
+alive AS (SELECT * FROM pts WHERE id % 5 <> 0),
+d AS (SELECT p.id AS src, q.id AS dst, {dist_pq} AS dist FROM alive p, alive q),
+r AS (SELECT src, dst, dist, row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rk FROM d)
+SELECT src, dst, dist, CAST(rk AS INT) AS rank FROM r WHERE rk <= {K}
+"""
+    sql["pip_tiles"] = f"""
+WITH pts AS ({_PTS_SQL}),
+tiles AS (
+  SELECT (j * 7 + i) AS tile_id, -100.0 + 33.0 * i AS tcx, -100.0 + 33.0 * j AS tcy
+  FROM (SELECT unnest(generate_series(0, 6)) AS i), (SELECT unnest(generate_series(0, 6)) AS j)
+)
+SELECT p.id, t.tile_id
+FROM pts p, tiles t
+WHERE abs(p.x - t.tcx) + abs(p.y - t.tcy) <= {_TILE_R}
+"""
+    sql["text_stats"] = """
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars_calc,
+  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+  CASE WHEN length(text) > 0
+       THEN (length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g'))) / length(text)
+       ELSE 0.0 END AS alpha_ratio,
+  CASE WHEN length(text) > 0
+       THEN length(regexp_replace(text, '[^0-9]', '', 'g')) / length(text)
+       ELSE 0.0 END AS digit_ratio,
+  CASE WHEN length(text) > 0
+       THEN length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / length(text)
+       ELSE 0.0 END AS punct_ratio,
+  0.5 * (CASE WHEN length(text) > 0
+       THEN (length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g'))) / length(text)
+       ELSE 0.0 END)
+  + 0.3 * (1.0 - (CASE WHEN length(text) > 0
+       THEN length(regexp_replace(text, '[^0-9]', '', 'g')) / length(text)
+       ELSE 0.0 END))
+  + 0.2 * least(1.0, (CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)) / 100.0)
+  AS quality_score
+FROM documents
+"""
+    sql["dedup_exact"] = """
+SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keep_id
+FROM documents GROUP BY md5(text)
+"""
+    sql["ngram_jaccard"] = """
+WITH docs AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(w) >= 3
+      THEN list_distinct(list_transform(generate_series(1, len(w) - 2),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+      ELSE [] END AS shingles
+  FROM docs
+),
+inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh)
+SELECT p.doc_a, p.doc_b,
+       CAST(p.n_inter AS DOUBLE) / (sa.sz + sb.sz - p.n_inter) AS jaccard
+FROM pairs p
+JOIN sizes sa ON sa.doc_id = p.doc_a
+JOIN sizes sb ON sb.doc_id = p.doc_b
+WHERE CAST(p.n_inter AS DOUBLE) / (sa.sz + sb.sz - p.n_inter) >= 0.2
+"""
+    sql["ann_cosine"] = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 10 = 0),
+s AS (
+  SELECT q.qid, e.vec_id AS neighbor_id,
+         list_dot_product(e.v, q.qv) /
+         (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS score
+  FROM e, q WHERE e.vec_id <> q.qid
+),
+r AS (SELECT qid, neighbor_id,
+      row_number() OVER (PARTITION BY qid ORDER BY score DESC, neighbor_id) AS rk FROM s)
+SELECT qid, neighbor_id, CAST(rk AS INT) AS rank FROM r WHERE rk <= 5
+"""
+    return sql

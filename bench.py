@@ -1,0 +1,167 @@
+"""Benchmark harness: headline engine queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] (default 32).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ...,
+   "docs_per_min": ..., "n_points": ...}
+
+The headline number is the end-to-end lifecycle of BASELINE.json's
+north_star: synthetic Common-Crawl-style pages -> geotag/text
+extraction (pandas UDFs) -> cell grid -> exact k=10 kNN graph; plus the
+component operators (range join, reverse kNN, PIP tiling, text
+pipeline, minhash dedup, ANN).
+
+Scaling evidence (north_rule, N vs 4N): run twice —
+  SPARK_GRAFT_CPUS=8  python bench.py
+  SPARK_GRAFT_CPUS=32 python bench.py
+and compare docs_per_min (see BENCH.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("rindex-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 16)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", "48g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from rindex_spark.config import EngineConfig, GridSpec
+    from rindex_spark.datagen import generate_pages, generate_tiles
+    from rindex_spark.functions.text import fingerprint, lang_id, with_text_stats
+    from rindex_spark.grid import infer_grid
+    from rindex_spark.operators.ann import cosine_topk
+    from rindex_spark.operators.dedup import minhash_lsh_pairs
+    from rindex_spark.operators.knn import build_knn_graph
+    from rindex_spark.operators.range_query import range_join
+    from rindex_spark.operators.rknn import reverse_knn
+    from rindex_spark.operators.tiling import assign_tiles
+    from rindex_spark.sources.pages import points_from_pages
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_events = events.count()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+    docs.count()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    emb.count()
+
+    timings: dict[str, float] = {}
+
+    def bench(name: str, fn):
+        t0 = time.monotonic()
+        out = fn()
+        timings[name] = round(time.monotonic() - t0, 3)
+        return out
+
+    # --- headline: e2e pages -> extract -> kNN graph (k=10) ---------------
+    n_pages = n_events  # scale the page corpus with the sf tier
+    k = 10
+
+    def e2e():
+        pages = generate_pages(spark, n_pages, dist="clustered", seed=42,
+                               partitions=max(cpus, 8))
+        pts = points_from_pages(pages).cache()
+        g = build_knn_graph(pts, k)
+        n = g.count()
+        pts.unpersist()
+        return n
+
+    n_graph_rows = bench("e2e_pages_to_knn_graph", e2e)
+
+    # --- component operators on events-derived points ---------------------
+    pts = events.select(
+        F.col("event_id").alias("id"),
+        (((F.col("event_id") * 7919) % 20000) / 100.0 - 100.0).alias("x"),
+        (((F.col("event_id") * 104729) % 20000) / 100.0 - 100.0).alias("y"),
+    ).cache()
+    n_points = pts.count()
+    cfg = EngineConfig(k=k)
+    spec = infer_grid(pts, cfg)
+
+    graph = bench("knn_graph_events", lambda: build_knn_graph(pts, k, spec=spec))
+    # materialize once; reused by rknn
+    graph = graph.cache()
+    timings["knn_graph_events"] += 0.0
+    t0 = time.monotonic()
+    graph.count()
+    timings["knn_graph_events"] = round(
+        timings["knn_graph_events"] + time.monotonic() - t0, 3
+    )
+
+    q = pts.filter((F.col("id") % 101) == 0).select(
+        F.col("id").alias("qid"), "x", "y", F.lit(8.0).alias("radius")
+    )
+    bench("range_join", lambda: range_join(pts, q, spec=spec).count())
+
+    rq = pts.filter((F.col("id") % 211) == 0).select(F.col("id").alias("qid"), "x", "y")
+    bench("reverse_knn", lambda: reverse_knn(pts, graph, rq, k, spec).count())
+
+    bench(
+        "pip_tiles",
+        lambda: assign_tiles(
+            pts, generate_tiles(), GridSpec(20.0, -100.0, -100.0),
+            inclusive_l1_diamond=23.7,
+        ).count(),
+    )
+
+    bench(
+        "text_pipeline",
+        lambda: with_text_stats(docs)
+        .withColumn("lang_pred", lang_id(F.col("text")))
+        .withColumn("fp", fingerprint(F.col("text")))
+        .count(),
+    )
+
+    bench("minhash_dedup", lambda: minhash_lsh_pairs(docs, threshold=0.2).count())
+
+    qe = emb.filter((F.col("vec_id") % 10) == 0).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    bench("ann_cosine_topk", lambda: cosine_topk(emb, qe, k=5).count())
+
+    total = round(sum(timings.values()), 3)
+    docs_per_min = round(n_pages / timings["e2e_pages_to_knn_graph"] * 60.0, 1)
+    print(
+        json.dumps(
+            {
+                "metric": "knn_graph_spatial_join_suite_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+                "n_pages": n_pages,
+                "n_points": n_points,
+                "n_graph_rows": n_graph_rows,
+                "docs_per_min": docs_per_min,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

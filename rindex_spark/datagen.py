@@ -1,0 +1,206 @@
+"""Deterministic synthetic data generators (no external data).
+
+Everything is a pure function of the row index (splitmix64 hashing), so
+generation is DISTRIBUTED (mapInPandas over spark.range) and fully
+reproducible regardless of partitioning — the properties a 10^12-doc
+posture needs: no driver-side materialization, no RNG state shared
+across partitions.
+
+Generated artifacts (FIXTURES.md):
+* pages     — Common-Crawl-style web pages (url, warc_ts, html binary,
+              text, lang) with coordinates embedded as geo meta tags;
+              ``text`` is the canonical extraction of ``html`` so the
+              byte-identical invariant is testable.
+* op streams — insert/delete sequences mirroring lib/tests/random.rs:
+              p(delete)=0.2 of a uniformly-chosen live point, else
+              insert uniform in [-100,100)^2.
+* tiles     — deterministic diamond (L1-ball) polygons over the data
+              extent for point-in-polygon parity tests.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+BASE_TS = np.datetime64("2024-10-08T00:00:00")  # reference snapshot date
+
+_WORDS = (
+    "the of and to in is that with for was on as are this by from at an "
+    "der die und das ist von mit ein auf le la et les des est dans pour "
+    "el que de los en una por con para data web page crawl index spatial "
+    "graph neighbor query point cluster tile cell grid spark engine"
+).split()
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Deterministic 64-bit mix (public splitmix64 constants)."""
+    z = (x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    z = ((z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64(
+        0xFFFFFFFFFFFFFFFF
+    )
+    z = ((z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & np.uint64(
+        0xFFFFFFFFFFFFFFFF
+    )
+    return z ^ (z >> np.uint64(31))
+
+
+def _unit(x: np.ndarray, salt: int) -> np.ndarray:
+    """id -> deterministic uniform [0, 1)."""
+    return _splitmix64(x + np.uint64(salt * 0x9E3779B9)).astype(np.float64) / 2.0**64
+
+
+def coords_for_ids(ids: np.ndarray, dist: str = "clustered", seed: int = 0):
+    """Deterministic (x, y) per id; 'uniform' in [-100,100)^2 (the
+    reference's randomized-test domain, lib/tests/random.rs:24-25) or
+    'clustered' 3-Gaussian (the demo sparse.csv shape: 108/176/190)."""
+    ids = ids.astype(np.uint64)
+    u1 = _unit(ids, seed * 4 + 1)
+    u2 = _unit(ids, seed * 4 + 2)
+    if dist == "uniform":
+        x = u1 * 200.0 - 100.0
+        y = u2 * 200.0 - 100.0
+        return x, y
+    # clustered: mixture weights 108/176/190 of 474 (sparse.csv shape)
+    w = _unit(ids, seed * 4 + 3)
+    centers = np.array([(60.0, 60.0), (-50.0, 10.0), (20.0, -70.0)])
+    sigmas = np.array([8.0, 12.0, 5.0])
+    c = np.where(w < 108 / 474, 0, np.where(w < (108 + 176) / 474, 1, 2))
+    # Box-Muller from the two uniforms (guard u1=0)
+    r = np.sqrt(-2.0 * np.log(np.maximum(u1, 1e-300)))
+    x = centers[c, 0] + sigmas[c] * r * np.cos(2 * np.pi * u2)
+    y = centers[c, 1] + sigmas[c] * r * np.sin(2 * np.pi * u2)
+    return x, y
+
+
+def _body_words(i: int, n_words: int = 24) -> str:
+    h = int(_splitmix64(np.array([i], dtype=np.uint64))[0])
+    out = []
+    for j in range(n_words):
+        h = (h * 6364136223846793005 + 1442695040888963407) & ((1 << 64) - 1)
+        out.append(_WORDS[(h >> 33) % len(_WORDS)])
+    return " ".join(out)
+
+
+_LANGS = ("en", "de", "fr", "es")
+
+
+def page_batch(ids: np.ndarray, dist: str, seed: int, n_hosts: int = 97) -> pd.DataFrame:
+    """Build one Arrow batch of pages for the given ids."""
+    x, y = coords_for_ids(ids, dist=dist, seed=seed)
+    urls, htmls, texts, langs, tss = [], [], [], [], []
+    for idx, i in enumerate(ids):
+        i = int(i)
+        # Zipf-ish host skew: inverse-quadratic ramp -> low host ids get
+        # quadratically more pages (hot-key workload for salting tests)
+        v = int(_splitmix64(np.array([i + 7], dtype=np.uint64))[0] % (n_hosts * n_hosts))
+        host = n_hosts - 1 - math.isqrt(v)
+        url = f"https://site{host}.example/page/{i}"
+        title = f"Page {i}"
+        body = _body_words(i)
+        lat, lon = float(y[idx]), float(x[idx])
+        html = (
+            "<!DOCTYPE html><html><head><meta charset=\"utf-8\">"
+            f"<meta name=\"geo.position\" content=\"{lat!r};{lon!r}\">"
+            f"<title>{title}</title></head>"
+            f"<body><h1>{title}</h1><p>{body}</p></body></html>"
+        )
+        text = f"{title}\n{title}\n{body}"
+        urls.append(url)
+        htmls.append(html.encode("utf-8"))
+        texts.append(text)
+        langs.append(_LANGS[i % 4])
+        tss.append(BASE_TS + np.timedelta64(i, "s"))
+    return pd.DataFrame(
+        {
+            "url": urls,
+            "warc_ts": np.array(tss, dtype="datetime64[us]"),
+            "html": htmls,
+            "text": texts,
+            "lang": langs,
+            "page_id": ids.astype(np.int64),
+        }
+    )
+
+
+PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string, page_id long"
+
+
+def generate_pages(
+    spark: SparkSession,
+    n: int,
+    dist: str = "clustered",
+    seed: int = 0,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Distributed page generation: spark.range -> mapInPandas.
+
+    Every row is a pure function of its id, so the output is identical
+    under any partitioning — the generator itself scales with the
+    cluster (no driver bottleneck)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids = b["id"].to_numpy(dtype=np.int64)
+            yield page_batch(ids, dist=dist, seed=seed)
+
+    rng = spark.range(0, n, 1, partitions or max(1, min(64, n // 10_000 + 1)))
+    return rng.mapInPandas(gen, schema=PAGES_SCHEMA)
+
+
+def generate_ops(n_steps: int, seed: int = 0, p_delete: float = 0.2) -> list[tuple]:
+    """Insert/delete stream mirroring lib/tests/random.rs:16-28: at each
+    step, with p=0.2 delete a uniformly-chosen live point, else insert a
+    uniform point in [-100,100)^2.  Returns rows
+    (seq, op, id, x, y) — x/y None for deletes.  Op streams are
+    driver-scale metadata (the data-scale path is generate_pages)."""
+    rows: list[tuple] = []
+    live: list[int] = []
+    next_id = 0
+    for seq in range(n_steps):
+        h = _splitmix64(np.array([seed * 1_000_003 + seq], dtype=np.uint64))
+        u = float(h[0]) / 2.0**64
+        if live and u < p_delete:
+            pick = int(_splitmix64(np.array([seed * 77 + seq + 13], dtype=np.uint64))[0]) % len(
+                live
+            )
+            victim = live.pop(pick)
+            rows.append((seq, "delete", victim, None, None))
+        else:
+            x, y = coords_for_ids(np.array([next_id], dtype=np.uint64), "uniform", seed=seed)
+            rows.append((seq, "insert", next_id, float(x[0]), float(y[0])))
+            live.append(next_id)
+            next_id += 1
+    return rows
+
+
+def generate_tiles(
+    extent: tuple[float, float, float, float] = (-100.0, -100.0, 100.0, 100.0),
+    tile_r: float = 23.7,
+    step: float = 33.0,
+) -> list[tuple[int, list[tuple[float, float]]]]:
+    """Deterministic diamond tiles (L1 balls as 4-gon polygons) over the
+    extent.  Diamonds make PIP independently checkable: containment is
+    |x-cx| + |y-cy| <= r.  Returns [(tile_id, [(x,y) vertices ccw])]."""
+    x0, y0, x1, y1 = extent
+    tiles = []
+    tid = 0
+    cy = y0
+    while cy <= y1:
+        cx = x0
+        while cx <= x1:
+            verts = [
+                (cx + tile_r, cy),
+                (cx, cy + tile_r),
+                (cx - tile_r, cy),
+                (cx, cy - tile_r),
+            ]
+            tiles.append((tid, verts))
+            tid += 1
+            cx += step
+        cy += step
+    return tiles

@@ -1,0 +1,158 @@
+"""Text analysis over web-page payloads — all vectorized pandas/Arrow
+UDFs (no per-row Python), per BASELINE.json input_hint.
+
+``extract_text`` is the engine-side inverse of the page generator
+(rindex_spark.datagen): the extracted text must be BYTE-IDENTICAL to
+the stored ``text`` column per url (input_hint invariant; asserted in
+tests/test_text.py).
+
+The reference repo has no string functions at all (SURVEY.md §2.3) —
+this layer is the webtext graft: language-ID (stopword heuristic),
+quality scoring, token counting, rolling-hash fingerprinting.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
+
+_TITLE_RE = re.compile(r"<title>(.*?)</title>", re.S)
+_H1_RE = re.compile(r"<h1>(.*?)</h1>", re.S)
+_P_RE = re.compile(r"<p>(.*?)</p>", re.S)
+_GEO_RE = re.compile(r'<meta name="geo\.position" content="([^";]+);([^"]+)"')
+
+
+def extract_text_series(html: pd.Series) -> pd.Series:
+    """bytes html -> canonical text: title, h1, then paragraphs, joined
+    with newlines.  Deterministic; no entity decoding (the generator
+    never emits entities)."""
+
+    def _one(b) -> str:
+        s = b.decode("utf-8") if isinstance(b, (bytes, bytearray)) else str(b)
+        parts: list[str] = []
+        m = _TITLE_RE.search(s)
+        if m:
+            parts.append(m.group(1))
+        m = _H1_RE.search(s)
+        if m:
+            parts.append(m.group(1))
+        parts.extend(_P_RE.findall(s))
+        return "\n".join(parts)
+
+    return html.map(_one)
+
+
+@pandas_udf(StringType())
+def extract_text(html: pd.Series) -> pd.Series:
+    return extract_text_series(html)
+
+
+@pandas_udf(StructType([StructField("lat", DoubleType()), StructField("lon", DoubleType())]))
+def extract_geotag(html: pd.Series) -> pd.DataFrame:
+    """Parse `<meta name="geo.position" content="lat;lon">`."""
+    lats, lons = [], []
+    for b in html:
+        s = b.decode("utf-8") if isinstance(b, (bytes, bytearray)) else str(b)
+        m = _GEO_RE.search(s)
+        if m:
+            lats.append(float(m.group(1)))
+            lons.append(float(m.group(2)))
+        else:
+            lats.append(None)
+            lons.append(None)
+    return pd.DataFrame({"lat": lats, "lon": lons})
+
+
+# ---------------------------------------------------------------------------
+# language ID: tiny stopword-profile heuristic (vectorized via count maps)
+
+_LANG_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "in", "is", "that", "with", "for", "was"},
+    "de": {"der", "die", "und", "das", "ist", "von", "mit", "ein", "nicht", "auf"},
+    "fr": {"le", "la", "et", "les", "des", "est", "dans", "pour", "que", "une"},
+    "es": {"el", "la", "que", "de", "los", "en", "una", "por", "con", "para"},
+}
+
+
+def lang_id_series(text: pd.Series) -> pd.Series:
+    def _one(t: str) -> str:
+        toks = set(re.findall(r"[a-zà-ÿ]+", (t or "").lower()))
+        best, best_n = "und", 0
+        for lang, sw in _LANG_STOPWORDS.items():
+            n = len(toks & sw)
+            if n > best_n:
+                best, best_n = lang, n
+        return best
+
+    return text.map(_one)
+
+
+@pandas_udf(StringType())
+def lang_id(text: pd.Series) -> pd.Series:
+    return lang_id_series(text)
+
+
+# ---------------------------------------------------------------------------
+# quality / token stats — pure column expressions (JVM-side, no UDF)
+
+def with_text_stats(df, text_col: str = "text"):
+    """Adds n_chars_calc, n_tokens, alpha_ratio, digit_ratio,
+    punct_ratio, avg_token_len, quality_score — all built-in functions,
+    whole-stage codegen."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    stripped = F.regexp_replace(t, r"[a-zA-Z]", "")
+    digits = F.regexp_replace(t, r"[^0-9]", "")
+    punct = F.regexp_replace(t, r"[^.,;:!?]", "")
+    n_tokens = F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(t), r"\s+"))
+    )
+    alpha_ratio = F.when(n_chars > 0, (n_chars - F.length(stripped)) / n_chars).otherwise(
+        F.lit(0.0)
+    )
+    digit_ratio = F.when(n_chars > 0, F.length(digits) / n_chars).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, F.length(punct) / n_chars).otherwise(F.lit(0.0))
+    avg_tok = F.when(n_tokens > 0, n_chars / n_tokens).otherwise(F.lit(0.0))
+    quality = (
+        F.lit(0.5) * alpha_ratio
+        + F.lit(0.3) * (F.lit(1.0) - digit_ratio)
+        + F.lit(0.2) * F.least(F.lit(1.0), n_tokens / F.lit(100.0))
+    )
+    return (
+        df.withColumn("n_chars_calc", n_chars.cast("long"))
+        .withColumn("n_tokens", n_tokens.cast("long"))
+        .withColumn("alpha_ratio", alpha_ratio.cast("double"))
+        .withColumn("digit_ratio", digit_ratio.cast("double"))
+        .withColumn("punct_ratio", punct_ratio.cast("double"))
+        .withColumn("avg_token_len", avg_tok.cast("double"))
+        .withColumn("quality_score", quality.cast("double"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# document fingerprint: polynomial rolling hash of the whole text —
+# deterministic 63-bit, vectorized in numpy
+
+_FP_BASE = np.uint64(1000003)
+_FP_MASK = np.uint64((1 << 63) - 1)
+
+
+def fingerprint_series(text: pd.Series) -> pd.Series:
+    def _one(t: str) -> int:
+        h = np.uint64(0)
+        for b in (t or "").encode("utf-8"):
+            h = (h * _FP_BASE + np.uint64(b)) & _FP_MASK
+        return int(h)
+
+    with np.errstate(over="ignore"):
+        return text.map(_one)
+
+
+@pandas_udf(LongType())
+def fingerprint(text: pd.Series) -> pd.Series:
+    return fingerprint_series(text)

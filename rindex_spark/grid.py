@@ -44,9 +44,17 @@ def infer_grid(points: DataFrame, cfg: EngineConfig, x: str = "x", y: str = "y")
         return GridSpec(cell_size=1.0)
     ex = max(row["xmax"] - row["xmin"], 1e-9)
     ey = max(row["ymax"] - row["ymin"], 1e-9)
-    # cells ≈ n / target  =>  cs = sqrt(area * target / n)
-    cs = (ex * ey * cfg.target_per_cell / n) ** 0.5
-    cs = max(cs, 1e-9)
+    t = cfg.target_per_cell
+    # cells ≈ n / target  =>  cs = sqrt(area * target / n).  The per-axis
+    # floor (ex*t/n) guards DEGENERATE distributions: for near-1-D data
+    # the area formula collapses to ~0 cell size, the grid becomes a
+    # line of millions of cells, and ring expansion blows up O(r^2).
+    cs = max(
+        (ex * ey * t / n) ** 0.5,
+        ex * t / n,
+        ey * t / n,
+        1e-9,
+    )
     return GridSpec(cell_size=cs, x0=float(row["xmin"]), y0=float(row["ymin"]))
 
 

@@ -1,0 +1,214 @@
+"""Similarity search over embedding columns (array<float>).
+
+* ``cosine_topk``        — exact brute-force baseline: broadcast the
+  query side, JVM-side dot product (zip_with + aggregate — no Python in
+  the hot path), window top-k.
+* ``lsh_cosine_topk``    — the scale path: random-hyperplane signatures
+  bucket the corpus; each query probes its own bucket (+ multiprobe
+  neighbors), exact cosine refine on candidates only.  Recall < 1 by
+  design; the bucket join replaces the all-pairs product exactly like
+  grid cells replace the all-pairs distance join in the spatial ops.
+* ``embedding_near_dup`` — near-duplicate pairs by cosine >= threshold,
+  via the same LSH buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
+
+
+def _dot(a, b):
+    """JVM-side dot product of two array columns in double precision,
+    summed left-to-right (deterministic op order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    return df.withColumn("_norm", F.sqrt(_dot(F.col(vec_col), F.col(vec_col))))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    include_self: bool = False,
+) -> DataFrame:
+    """Exact top-k cosine neighbors of each query against the corpus.
+
+    queries: (qid, embedding).  Broadcast-joins the QUERY side (queries
+    are the small side in retrieval workloads); the corpus streams.
+    returns (qid, neighbor_id, score, rank), rank by (score desc, id).
+    """
+    c = with_norm(corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")), "_cv")
+    q = with_norm(queries.select(F.col("qid"), F.col(vec_col).alias("_qv")), "_qv").withColumnRenamed(
+        "_norm", "_qnorm"
+    )
+    pairs = c.crossJoin(F.broadcast(q))
+    if not include_self:
+        pairs = pairs.filter(F.col("neighbor_id") != F.col("qid"))
+    scored = pairs.withColumn(
+        "score",
+        F.when(
+            (F.col("_norm") > 0) & (F.col("_qnorm") > 0),
+            _dot(F.col("_cv"), F.col("_qv")) / (F.col("_norm") * F.col("_qnorm")),
+        ).otherwise(F.lit(-1.0)),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "neighbor_id", "score", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def hyperplane_signature_udf(dim: int, n_planes: int = 16, seed: int = 7):
+    """Random-hyperplane LSH: sign pattern of n_planes projections,
+    packed into a long.  P(bit match) = 1 - angle/pi."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes))
+
+    @pandas_udf(LongType())
+    def sig(vecs: pd.Series) -> pd.Series:
+        m = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        bits = (m @ planes) > 0
+        weights = (1 << np.arange(n_planes, dtype=np.uint64))
+        return pd.Series((bits.astype(np.uint64) @ weights).astype(np.int64))
+
+    return sig
+
+
+def lsh_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    n_planes: int = 12,
+    n_tables: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    include_self: bool = False,
+) -> DataFrame:
+    """Approximate top-k: n_tables independent hyperplane signatures;
+    candidates = same bucket in ANY table; exact cosine on candidates.
+    returns (qid, neighbor_id, score, rank)."""
+    parts = []
+    c0 = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    q0 = queries.select("qid", F.col(vec_col).alias("_qv"))
+    for t in range(n_tables):
+        sig = hyperplane_signature_udf(dim, n_planes, seed=100 + t)
+        parts.append(
+            c0.withColumn("bucket", sig(F.col("_cv")))
+            .withColumn("table", F.lit(t))
+            .select("neighbor_id", "table", "bucket")
+        )
+    cbuckets = parts[0]
+    for p in parts[1:]:
+        cbuckets = cbuckets.unionByName(p)
+
+    qparts = []
+    for t in range(n_tables):
+        sig = hyperplane_signature_udf(dim, n_planes, seed=100 + t)
+        qparts.append(
+            q0.withColumn("bucket", sig(F.col("_qv")))
+            .withColumn("table", F.lit(t))
+            .select("qid", "table", "bucket")
+        )
+    qbuckets = qparts[0]
+    for p in qparts[1:]:
+        qbuckets = qbuckets.unionByName(p)
+
+    cand = (
+        qbuckets.join(cbuckets, ["table", "bucket"])
+        .select("qid", "neighbor_id")
+        .distinct()
+    )
+    if not include_self:
+        cand = cand.filter(F.col("neighbor_id") != F.col("qid"))
+
+    c = with_norm(c0, "_cv")
+    q = with_norm(q0, "_qv").withColumnRenamed("_norm", "_qnorm")
+    scored = (
+        cand.join(c, "neighbor_id")
+        .join(q, "qid")
+        .withColumn(
+            "score",
+            F.when(
+                (F.col("_norm") > 0) & (F.col("_qnorm") > 0),
+                _dot(F.col("_cv"), F.col("_qv")) / (F.col("_norm") * F.col("_qnorm")),
+            ).otherwise(F.lit(-1.0)),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "neighbor_id", "score", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def embedding_near_dup(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    dim: int = 64,
+    n_planes: int = 14,
+    n_tables: int = 6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Near-duplicate pairs (a < b) with cosine >= threshold, via LSH
+    buckets + exact refine.  returns (id_a, id_b, score)."""
+    c0 = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("_v"))
+    parts = []
+    for t in range(n_tables):
+        sig = hyperplane_signature_udf(dim, n_planes, seed=500 + t)
+        parts.append(
+            c0.withColumn("bucket", sig(F.col("_v")))
+            .withColumn("table", F.lit(t))
+            .select("vid", "table", "bucket")
+        )
+    b = parts[0]
+    for p in parts[1:]:
+        b = b.unionByName(p)
+    aa = b.alias("a")
+    bb = b.alias("b")
+    cand = (
+        aa.join(
+            bb,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(F.col("a.vid").alias("id_a"), F.col("b.vid").alias("id_b"))
+        .distinct()
+    )
+    c = with_norm(c0, "_v")
+    scored = (
+        cand.join(
+            c.select(F.col("vid").alias("id_a"), F.col("_v").alias("_va"), F.col("_norm").alias("_na")),
+            "id_a",
+        )
+        .join(
+            c.select(F.col("vid").alias("id_b"), F.col("_v").alias("_vb"), F.col("_norm").alias("_nb")),
+            "id_b",
+        )
+        .withColumn(
+            "score",
+            F.when(
+                (F.col("_na") > 0) & (F.col("_nb") > 0),
+                _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")),
+            ).otherwise(F.lit(-1.0)),
+        )
+        .filter(F.col("score") >= threshold)
+    )
+    return scored.select("id_a", "id_b", "score")

@@ -1,0 +1,302 @@
+"""Deduplication for training-data pipelines — exact, n-gram Jaccard,
+MinHash+LSH, SimHash, and embedding near-dup (via operators.ann).
+
+None of this exists in the reference (a pure spatial library); it is
+the webtext half of the graft.  Everything follows the same
+filter-and-refine shape as the spatial ops: cheap distributed candidate
+generation (hash buckets ≙ grid cells), then exact verification on the
+surviving pairs only — never all-pairs.
+
+Scale notes:
+* exact dedup is one hash aggregate (map-side combinable).
+* n-gram Jaccard uses an inverted shingle index self-join; frequency
+  capping (drop shingles appearing in > max_df docs) bounds the
+  candidate blowup from boilerplate shingles — the textual analogue of
+  hot-cell salting.
+* MinHash signatures are computed in one vectorized pandas UDF pass,
+  banded, and bucketed; only same-bucket pairs are verified.
+* SimHash pairs use the pigeonhole band trick: two 64-bit fingerprints
+  within Hamming distance d share at least one of d+1 bit-bands.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
+
+_MERSENNE = (1 << 61) - 1
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups: (text_hash, n_docs, keep_id) — keep the
+    smallest id per identical text; map-side combinable aggregate."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(F.col(id_col)).alias("keep_id"),
+        )
+    )
+
+
+def word_shingles(text_col: str, n: int = 3):
+    """Column expr: array of distinct word n-grams (JVM-side, no UDF).
+
+    Guarded for texts shorter than n words — Spark's sequence(a, b)
+    DESCENDS when a > b, so the naive sequence(0, size-n) would emit
+    bogus indices there."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)]
+    )
+    return F.when(
+        F.size(words) >= n,
+        F.array_distinct(F.transform(F.sequence(F.lit(0), F.size(words) - n), gram)),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int | None = None,
+) -> DataFrame:
+    """EXACT n-gram Jaccard similarity join: all pairs (a, b), a < b,
+    with |shingles(a) ∩ shingles(b)| / |union| >= threshold.
+
+    Inverted-index decomposition: explode distinct shingles, self-join
+    on shingle -> pair intersection counts; sizes from a side table;
+    jaccard = inter / (|A| + |B| - inter).  max_df drops ubiquitous
+    shingles from the index — they can't create NEW pairs for any
+    realistic threshold but quadratically inflate the join (boilerplate
+    skew guard).  Leave None for the exact semantics.
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc"), word_shingles(text_col, n).alias("shingles")
+    ).withColumn("sh_size", F.size("shingles"))
+    sizes = sh.select("doc", "sh_size")
+    inv = sh.select("doc", F.explode("shingles").alias("shingle"))
+    if max_df is not None:
+        hot = (
+            inv.groupBy("shingle")
+            .count()
+            .filter(F.col("count") > max_df)
+            .select("shingle")
+        )
+        inv = inv.join(F.broadcast(hot), "shingle", "left_anti")
+    a = inv.alias("a")
+    b = inv.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("sh_size", "size_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("sh_size", "size_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("size_a") + F.col("size_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _hash_shingles(texts: pd.Series, n: int) -> list[np.ndarray]:
+    out = []
+    for t in texts:
+        words = (t or "").split()
+        if len(words) < n:
+            out.append(np.array([], dtype=np.uint64))
+            continue
+        grams = {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
+        hs = np.fromiter(
+            (hash_str64(g) for g in grams), dtype=np.uint64, count=len(grams)
+        )
+        out.append(hs)
+    return out
+
+
+def hash_str64(s: str) -> int:
+    """Deterministic FNV-1a 64-bit (process-independent, unlike hash())."""
+    h = 0xCBF29CE484222325
+    for b in s.encode("utf-8"):
+        h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_hashes: int = 64,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 1,
+) -> DataFrame:
+    """(doc, sig array<long>) — vectorized MinHash over word n-grams."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_hashes, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, _MERSENNE, size=num_hashes, dtype=np.int64).astype(np.uint64)
+
+    @pandas_udf(ArrayType(LongType()))
+    def sig(texts: pd.Series) -> pd.Series:
+        res = []
+        for hs in _hash_shingles(texts, n):
+            if len(hs) == 0:
+                res.append(np.full(num_hashes, np.iinfo(np.int64).max, dtype=np.int64))
+                continue
+            # (a*h + b) mod p, universal hashing; min over shingles
+            vals = (a[None, :] * (hs[:, None] % _MERSENNE) + b[None, :]) % _MERSENNE
+            res.append(vals.min(axis=0).astype(np.int64))
+        return pd.Series([list(map(int, r)) for r in res])
+
+    return df.select(F.col(id_col).alias("doc"), sig(F.col(text_col)).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 1,
+) -> DataFrame:
+    """Near-dup candidate pairs via banded MinHash-LSH, verified with
+    EXACT n-gram Jaccard on the candidates only.
+
+    returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >=
+    threshold (exact, so the only approximation is RECALL of the LSH
+    stage — tuned by bands/rows)."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, num_hashes, n, text_col, id_col, seed)
+    banded = sigs.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.xxhash64(
+                            *[F.col("sig")[j] for j in range(i * rows_per_band, (i + 1) * rows_per_band)]
+                        ).alias("bucket"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+
+    # exact verify on candidates only
+    sh = df.select(
+        F.col(id_col).alias("doc"), word_shingles(text_col, n).alias("shingles")
+    )
+    verified = (
+        cand.join(sh.withColumnRenamed("doc", "doc_a").withColumnRenamed("shingles", "sh_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc", "doc_b").withColumnRenamed("shingles", "sh_b"), "doc_b")
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("n_union", F.size(F.array_union("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.when(F.col("n_union") > 0, F.col("n_inter") / F.col("n_union")).otherwise(F.lit(0.0)),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select("doc_a", "doc_b", "jaccard")
+
+
+def simhash64(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc, simhash long) — 64-bit SimHash over unigram token hashes."""
+
+    @pandas_udf(LongType())
+    def sh(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            words = (t or "").split()
+            if not words:
+                out.append(0)
+                continue
+            hs = np.fromiter((hash_str64(w) for w in words), dtype=np.uint64, count=len(words))
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
+            v = np.where(bits.sum(axis=0) * 2 >= len(hs), 1, 0).astype(np.uint64)
+            out.append(int((v << np.arange(64, dtype=np.uint64)).sum().astype(np.int64)))
+        return pd.Series(out, dtype="int64")
+
+    return df.select(F.col(id_col).alias("doc"), sh(F.col(text_col)).alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All pairs within Hamming distance <= max_hamming of their 64-bit
+    SimHash.  Pigeonhole: split into max_hamming+1 bands; near pairs
+    agree on >= 1 band -> band equi-join, exact popcount refine."""
+    nb = max_hamming + 1
+    width = 64 // nb
+    hashes = simhash64(df, text_col, id_col)
+    bands = hashes.select(
+        "doc",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("key"),
+                    )
+                    for i in range(nb)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "simhash", F.col("bb.band").alias("band"), F.col("bb.key").alias("key"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.simhash").alias("h_a"),
+            F.col("b.simhash").alias("h_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

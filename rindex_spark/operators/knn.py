@@ -211,6 +211,9 @@ def knn_for_queries(
     out = finished_parts[0]
     for part in finished_parts[1:]:
         out = out.unionByName(part)
+    # bound the output partition count: the union concatenates one
+    # partition set per ring round
+    out = out.coalesce(max(spark.sparkContext.defaultParallelism, 2))
     return out.select("qid", "id", "dist", F.col("rank").cast("int").alias("rank"))
 
 

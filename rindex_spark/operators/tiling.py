@@ -1,0 +1,119 @@
+"""Point-in-polygon tiling (BASELINE.json north_star: "point-in-polygon
+joins against tile polygons via a broadcast cell-to-polygon map").
+
+The reference has no polygons — tiling is part of the web-scale graft.
+Shape: the tile set is small metadata (thousands of polygons), so
+
+1. driver-side: each tile's bbox is rasterized to covering grid cells
+   -> a (cell_x, cell_y, tile_id) map, broadcast;
+2. points equi-join the map on their cell (broadcast hash join — no
+   shuffle of the big side);
+3. exact refine: vectorized ray-casting (even-odd rule) in a pandas
+   UDF over the surviving (point, tile) candidates.
+
+This is the same filter-and-refine decomposition as the spatial
+operators; the cell map plays the sphere-pruning role.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import BooleanType
+
+from rindex_spark.config import GridSpec
+from rindex_spark.grid import with_cells
+
+Tiles = list[tuple[int, list[tuple[float, float]]]]
+
+
+def point_in_poly_np(xs: np.ndarray, ys: np.ndarray, verts: np.ndarray) -> np.ndarray:
+    """Vectorized even-odd ray casting; boundary points count as inside
+    on the edges crossed by the +x ray (standard half-open rule)."""
+    inside = np.zeros(len(xs), dtype=bool)
+    n = len(verts)
+    j = n - 1
+    for i in range(n):
+        xi, yi = verts[i]
+        xj, yj = verts[j]
+        cross = (yi > ys) != (yj > ys)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = (xj - xi) * (ys - yi) / (yj - yi) + xi
+        inside ^= cross & (xs < xint)
+        j = i
+    return inside
+
+
+def assign_tiles(
+    points: DataFrame,
+    tiles: Tiles,
+    spec: GridSpec,
+    inclusive_l1_diamond: float | None = None,
+) -> DataFrame:
+    """points (id, x, y) x tiles -> (id, tile_id).
+
+    inclusive_l1_diamond: when the tiles are L1 diamonds of this radius
+    (the deterministic test tiles, datagen.generate_tiles), containment
+    uses the closed-form |x-cx|+|y-cy| <= r test instead of ray casting
+    so boundary points are INCLUSIVE and oracle-checkable; ray casting
+    (any simple polygon) is the general path.
+    """
+    spark = points.sparkSession
+    cs = spec.cell_size
+    cell_rows = []
+    for tid, verts in tiles:
+        vx = [v[0] for v in verts]
+        vy = [v[1] for v in verts]
+        ix0 = math.floor((min(vx) - spec.x0) / cs)
+        ix1 = math.floor((max(vx) - spec.x0) / cs)
+        iy0 = math.floor((min(vy) - spec.y0) / cs)
+        iy1 = math.floor((max(vy) - spec.y0) / cs)
+        for ix in range(ix0, ix1 + 1):
+            for iy in range(iy0, iy1 + 1):
+                cell_rows.append((ix, iy, tid))
+    cell_map = spark.createDataFrame(cell_rows, "cix long, ciy long, tile_id long")
+
+    pts = with_cells(points.select("id", "x", "y"), spec)
+    cand = pts.join(
+        F.broadcast(cell_map),
+        (pts["ix"] == cell_map["cix"]) & (pts["iy"] == cell_map["ciy"]),
+        "inner",
+    ).select("id", "x", "y", "tile_id")
+
+    if inclusive_l1_diamond is not None:
+        centers = {tid: (sum(v[0] for v in vs) / len(vs), sum(v[1] for v in vs) / len(vs)) for tid, vs in tiles}
+        cdf = spark.createDataFrame(
+            [(t, cx, cy) for t, (cx, cy) in centers.items()],
+            "tile_id long, tcx double, tcy double",
+        )
+        r = float(inclusive_l1_diamond)
+        return (
+            cand.join(F.broadcast(cdf), "tile_id")
+            .filter(
+                (F.abs(F.col("x") - F.col("tcx")) + F.abs(F.col("y") - F.col("tcy")))
+                <= F.lit(r)
+            )
+            .select("id", "tile_id")
+        )
+
+    verts_by_tid = {tid: np.asarray(verts, dtype=np.float64) for tid, verts in tiles}
+
+    @pandas_udf(BooleanType())
+    def pip(x: pd.Series, y: pd.Series, tile_id: pd.Series) -> pd.Series:
+        out = np.zeros(len(x), dtype=bool)
+        xs = x.to_numpy()
+        ys = y.to_numpy()
+        tids = tile_id.to_numpy()
+        for tid in np.unique(tids):
+            m = tids == tid
+            out[m] = point_in_poly_np(xs[m], ys[m], verts_by_tid[int(tid)])
+        return pd.Series(out)
+
+    return cand.filter(pip(F.col("x"), F.col("y"), F.col("tile_id"))).select(
+        "id", "tile_id"
+    )

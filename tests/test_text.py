@@ -1,0 +1,92 @@
+"""Webtext layer: the byte-identical extraction invariant
+(BASELINE.json input_hint), geotag parsing, language ID, text stats,
+and the distributed page generator's determinism."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from rindex_spark.datagen import coords_for_ids, generate_pages, page_batch
+from rindex_spark.functions.text import (
+    extract_text,
+    extract_text_series,
+    lang_id,
+    with_text_stats,
+)
+from rindex_spark.sources.pages import points_from_pages, verify_text_invariant
+
+
+def test_extract_text_byte_identical(spark):
+    pages = generate_pages(spark, 300, dist="clustered", seed=1).cache()
+    assert verify_text_invariant(pages) == 0
+    # and via pandas directly (no Spark roundtrip artifacts)
+    pdf = page_batch(np.arange(50, dtype=np.int64), dist="uniform", seed=2)
+    assert (extract_text_series(pdf["html"]) == pdf["text"]).all()
+
+
+def test_geotag_roundtrip_exact(spark):
+    """Coordinates extracted from html must equal the generator's floats
+    bit-for-bit (repr round-trip of IEEE doubles)."""
+    n = 200
+    pages = generate_pages(spark, n, dist="clustered", seed=3)
+    pts = points_from_pages(pages).orderBy("id").collect()
+    ids = np.arange(n, dtype=np.uint64)
+    x, y = coords_for_ids(ids, dist="clustered", seed=3)
+    assert len(pts) == n
+    for r in pts:
+        assert r["x"] == x[r["id"]]  # exact, not approx
+        assert r["y"] == y[r["id"]]
+
+
+def test_generator_partition_invariance(spark):
+    """The generator is a pure function of the row id: 1 partition and 7
+    partitions must produce identical tables."""
+    a = generate_pages(spark, 120, seed=4, partitions=1).orderBy("url").collect()
+    b = generate_pages(spark, 120, seed=4, partitions=7).orderBy("url").collect()
+    assert a == b
+
+
+def test_lang_id_on_stopword_text(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the cat and the dog of that house was with them for now"),
+            (1, "der hund und die katze ist von dem haus mit einem nicht"),
+            (2, "le chat et les chiens est dans la maison pour que une"),
+            (3, "el perro que la casa de los gatos en una por con para"),
+            (4, "zzz qqq xxx"),
+        ],
+        "id long, text string",
+    )
+    got = {r["id"]: r["lang"] for r in df.select("id", lang_id("text").alias("lang")).collect()}
+    assert got == {0: "en", 1: "de", 2: "fr", 3: "es", 4: "und"}
+
+
+def test_text_stats_columns(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello world, 42 times!"), (1, ""), (2, "   ")],
+        "id long, text string",
+    )
+    rows = {r["id"]: r for r in with_text_stats(df).collect()}
+    r0 = rows[0]
+    assert r0["n_chars_calc"] == 22
+    assert r0["n_tokens"] == 4
+    assert 0 < r0["alpha_ratio"] < 1
+    assert r0["digit_ratio"] > 0
+    assert rows[1]["n_tokens"] == 0 and rows[2]["n_tokens"] == 0
+
+
+def test_host_skew_is_zipfish(spark):
+    """Low host ids must get quadratically more pages (the hot-key
+    workload for salting)."""
+    pages = generate_pages(spark, 2000, seed=0)
+    counts = (
+        pages.withColumn("host", F.regexp_extract("url", r"site(\d+)\.example", 1).cast("int"))
+        .groupBy("host")
+        .count()
+        .collect()
+    )
+    by_host = {r["host"]: r["count"] for r in counts}
+    low = sum(by_host.get(h, 0) for h in range(10))
+    high = sum(by_host.get(h, 0) for h in range(87, 97))
+    assert low > 3 * max(high, 1)
