@@ -70,10 +70,14 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
+    verbose = bool(os.environ.get("RINDEX_BENCH_VERBOSE"))
+
     def bench(name: str, fn):
         t0 = time.monotonic()
         out = fn()
         timings[name] = round(time.monotonic() - t0, 3)
+        if verbose:
+            print(f"[bench] {name}: {timings[name]}s", file=sys.stderr, flush=True)
         return out
 
     # --- headline: e2e pages -> extract -> kNN graph (k=10) ---------------

@@ -40,7 +40,12 @@ class EngineConfig:
                       itself at distance 0.0 (reference semantics,
                       rindex.rs:481, usage.rs:16-17).
     target_per_cell:  desired mean points per grid cell when a grid is
-                      inferred from data (drives cell_size).
+                      inferred from data (drives cell_size).  None (the
+                      default) derives it from k.  With the cogrouped
+                      Arrow kNN rounds, per-cell occupancy costs numpy
+                      FLOPS (cheap) while the group COUNT costs pandas
+                      per-group overhead (expensive) — so cells should
+                      be comfortably larger than k.
     max_rounds:       safety cap on ring-expansion iterations.
     hot_cell_factor:  a cell with more than hot_cell_factor * mean
                       points is "hot" and gets salted repartitioning.
@@ -48,7 +53,7 @@ class EngineConfig:
     """
 
     k: int = 10
-    target_per_cell: int = 64
+    target_per_cell: int | None = None
     max_rounds: int = 64
     hot_cell_factor: float = 8.0
     salt_buckets: int = 8
@@ -58,5 +63,9 @@ class EngineConfig:
         # it rejects k < 1; fanout bounds have no analogue here.
         if self.k < 1:
             raise ValueError(f"k must be >= 1, got {self.k}")
-        if self.target_per_cell < 1:
+        if self.target_per_cell is not None and self.target_per_cell < 1:
             raise ValueError("target_per_cell must be >= 1")
+
+    @property
+    def effective_target_per_cell(self) -> int:
+        return self.target_per_cell if self.target_per_cell is not None else max(32, 3 * self.k)

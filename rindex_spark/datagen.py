@@ -20,7 +20,6 @@ Generated artifacts (FIXTURES.md):
 
 from __future__ import annotations
 
-import math
 from collections.abc import Iterator
 
 import numpy as np
@@ -77,31 +76,43 @@ def coords_for_ids(ids: np.ndarray, dist: str = "clustered", seed: int = 0):
     return x, y
 
 
-def _body_words(i: int, n_words: int = 24) -> str:
-    h = int(_splitmix64(np.array([i], dtype=np.uint64))[0])
-    out = []
-    for j in range(n_words):
-        h = (h * 6364136223846793005 + 1442695040888963407) & ((1 << 64) - 1)
-        out.append(_WORDS[(h >> 33) % len(_WORDS)])
-    return " ".join(out)
+def _body_words_batch(ids: np.ndarray, n_words: int = 24) -> list[str]:
+    """Vectorized deterministic word soup: one LCG step per word across
+    the whole batch (no per-row numpy calls — the generator must stream
+    millions of rows per task)."""
+    h = _splitmix64(ids.astype(np.uint64))
+    words = np.asarray(_WORDS)
+    cols = []
+    mul = np.uint64(6364136223846793005)
+    add = np.uint64(1442695040888963407)
+    for _ in range(n_words):
+        h = h * mul + add  # uint64 wraps (mod 2^64)
+        cols.append(words[(h >> np.uint64(33)) % np.uint64(len(words))])
+    mat = np.stack(cols, axis=1)
+    return [" ".join(row) for row in mat]
 
 
 _LANGS = ("en", "de", "fr", "es")
 
 
 def page_batch(ids: np.ndarray, dist: str, seed: int, n_hosts: int = 97) -> pd.DataFrame:
-    """Build one Arrow batch of pages for the given ids."""
-    x, y = coords_for_ids(ids, dist=dist, seed=seed)
-    urls, htmls, texts, langs, tss = [], [], [], [], []
-    for idx, i in enumerate(ids):
-        i = int(i)
-        # Zipf-ish host skew: inverse-quadratic ramp -> low host ids get
-        # quadratically more pages (hot-key workload for salting tests)
-        v = int(_splitmix64(np.array([i + 7], dtype=np.uint64))[0] % (n_hosts * n_hosts))
-        host = n_hosts - 1 - math.isqrt(v)
-        url = f"https://site{host}.example/page/{i}"
+    """Build one Arrow batch of pages for the given ids (fully
+    vectorized except the final string assembly)."""
+    ids = ids.astype(np.int64)
+    x, y = coords_for_ids(ids.astype(np.uint64), dist=dist, seed=seed)
+    # Zipf-ish host skew: inverse-quadratic ramp -> low host ids get
+    # quadratically more pages (hot-key workload for salting tests)
+    v = _splitmix64((ids + 7).astype(np.uint64)) % np.uint64(n_hosts * n_hosts)
+    hosts = (n_hosts - 1) - np.sqrt(v.astype(np.float64)).astype(np.int64)
+    bodies = _body_words_batch(ids)
+    tss = BASE_TS + ids.astype("timedelta64[s]")
+
+    urls, htmls, texts = [], [], []
+    for idx in range(len(ids)):
+        i = int(ids[idx])
+        url = f"https://site{int(hosts[idx])}.example/page/{i}"
         title = f"Page {i}"
-        body = _body_words(i)
+        body = bodies[idx]
         lat, lon = float(y[idx]), float(x[idx])
         html = (
             "<!DOCTYPE html><html><head><meta charset=\"utf-8\">"
@@ -109,20 +120,17 @@ def page_batch(ids: np.ndarray, dist: str, seed: int, n_hosts: int = 97) -> pd.D
             f"<title>{title}</title></head>"
             f"<body><h1>{title}</h1><p>{body}</p></body></html>"
         )
-        text = f"{title}\n{title}\n{body}"
         urls.append(url)
         htmls.append(html.encode("utf-8"))
-        texts.append(text)
-        langs.append(_LANGS[i % 4])
-        tss.append(BASE_TS + np.timedelta64(i, "s"))
+        texts.append(f"{title}\n{title}\n{body}")
     return pd.DataFrame(
         {
             "url": urls,
-            "warc_ts": np.array(tss, dtype="datetime64[us]"),
+            "warc_ts": tss.astype("datetime64[us]"),
             "html": htmls,
             "text": texts,
-            "lang": langs,
-            "page_id": ids.astype(np.int64),
+            "lang": np.asarray(_LANGS)[ids % 4],
+            "page_id": ids,
         }
     )
 

@@ -39,12 +39,18 @@ def infer_grid(points: DataFrame, cfg: EngineConfig, x: str = "x", y: str = "y")
         F.max(y).alias("ymax"),
         F.count(F.lit(1)).alias("n"),
     ).collect()[0]
+    return grid_from_extent(row, cfg)
+
+
+def grid_from_extent(row, cfg: EngineConfig) -> GridSpec:
+    """Build a GridSpec from a pre-collected extent row (n, xmin, xmax,
+    ymin, ymax) — lets callers fold extent+grid into one aggregate job."""
     n = row["n"] or 0
     if n == 0:
         return GridSpec(cell_size=1.0)
     ex = max(row["xmax"] - row["xmin"], 1e-9)
     ey = max(row["ymax"] - row["ymin"], 1e-9)
-    t = cfg.target_per_cell
+    t = cfg.effective_target_per_cell
     # cells ≈ n / target  =>  cs = sqrt(area * target / n).  The per-axis
     # floor (ex*t/n) guards DEGENERATE distributions: for near-1-D data
     # the area formula collapses to ~0 cell size, the grid becomes a
@@ -58,17 +64,19 @@ def infer_grid(points: DataFrame, cfg: EngineConfig, x: str = "x", y: str = "y")
     return GridSpec(cell_size=cs, x0=float(row["xmin"]), y0=float(row["ymin"]))
 
 
-def cell_ix(spec: GridSpec, x: Column) -> Column:
-    return F.floor((x - F.lit(spec.x0)) / F.lit(spec.cell_size)).cast("long")
+def cell_index(origin: float, cell_size: float, v: Column) -> Column:
+    return F.floor((v - F.lit(origin)) / F.lit(cell_size)).cast("long")
 
 
 def with_cells(
     df: DataFrame, spec: GridSpec, x: str = "x", y: str = "y", prefix: str = ""
 ) -> DataFrame:
-    """Add integer cell coordinates ``{prefix}ix, {prefix}iy``."""
-    return df.withColumn(f"{prefix}ix", cell_ix(spec, F.col(x))).withColumn(
-        f"{prefix}iy", cell_ix(spec, F.col(y))
-    )
+    """Add integer cell coordinates ``{prefix}ix, {prefix}iy`` — each
+    axis against ITS OWN origin (x0 for x, y0 for y; the two origins
+    differ whenever the data bbox isn't square-cornered)."""
+    return df.withColumn(
+        f"{prefix}ix", cell_index(spec.x0, spec.cell_size, F.col(x))
+    ).withColumn(f"{prefix}iy", cell_index(spec.y0, spec.cell_size, F.col(y)))
 
 
 def explode_block(

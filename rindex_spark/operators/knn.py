@@ -8,57 +8,169 @@ Reference semantics reproduced here (SURVEY.md §2):
 * the per-point kNN graph maintained on insert (rindex.rs:478-482,
   :500-560): every point's k nearest INCLUDING ITSELF at distance 0.0.
 
-Distributed re-expression: iterative **cell-ring expansion**.  Each
-round, every still-unfinished query joins the points lying in the next
-Chebyshev annulus of grid cells; a window top-k keeps its best k
-candidates; the query finishes when its k-th candidate distance is
-strictly below the minimum possible distance of any unvisited cell
-(``grid.ring_lower_bound`` — the exact invariant of rindex.rs:800-802).
-All queries advance one ring per join round, so the driver loop runs
-O(1) Spark jobs per ring, never per query.  With the ring-jump
-heuristic (once k candidates exist, jump straight to the ring that
-certifies the current k-th distance) almost all workloads finish in
-2-3 rounds.
+Distributed re-expression: iterative **cell-ring expansion** with the
+kNN math in vectorized Arrow UDFs (the north_star architecture):
+
+round r:
+  1. the distinct (query-cell, ring-window) keys explode to their
+     Chebyshev ANNULUS of candidate cells (pure sequence/explode) and
+     equi-join the points — shuffle volume is points x ring-size, NOT
+     queries x occupancy (the naive pair-join blows up quadratically in
+     dense cells).
+  2. queries and candidates COGROUP on the query cell; a pandas UDF
+     computes, per group, the full numpy distance matrix (chunked),
+     stable-argsorts it in (dist, id) order, and merges each query's
+     new top-k with its carried best-so-far list.
+  3. a query finishes when its k-th distance is STRICTLY below the
+     minimum possible distance of any unvisited cell
+     (grid.ring_lower_bound — the exact invariant of rindex.rs:800-802)
+     or the ring already covers the whole data extent.
+  4. unfinished queries jump their ring radius to the certifying radius
+     (floor(kth/cs)+1), clamped geometrically; the frontier shrinks
+     monotonically.
 
 Scale notes (100 TB posture):
-* the ring join is an equi-join on (cell_x, cell_y) — shuffle-hash /
-  sort-merge with AQE; the points side is reusable across rounds
-  (cache/persist by the caller for iterative workloads).
-* the frontier SHRINKS monotonically; later rounds touch only straggler
-  queries (sparse regions), so per-round shuffle volume decays fast.
-* nothing driver-side grows with data: the loop keeps only per-round
-  row counts.
+* per round: one equi-join keyed on cell ints + one cogroup shuffle —
+  both AQE-managed; nothing driver-side grows with data (the loop keeps
+  only frontier row counts).
+* dense (urban/hot) cells cost O(occupancy) numpy flops per query, not
+  O(occupancy) shuffled rows per query — C-speed instead of shuffle.
 * determinism: candidates ordered by (dist, id); ties at the k-th
-  distance are broken by id (the reference's order is arbitrary on
-  ties — its tests compare sets/multisets only, lib/tests/graph.rs:60-67).
+  distance break by id (the reference's order is arbitrary on ties —
+  its tests compare sets/multisets only, lib/tests/graph.rs:60-67).
+* distance = sqrt((qx-x)^2 + (qy-y)^2) in float64, the same IEEE op
+  order as the reference (distance.rs:1-7) and the SQL oracles.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import os
+import time as _time
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from rindex_spark.config import EngineConfig, GridSpec
-from rindex_spark.functions.distance import euclidean
-from rindex_spark.grid import (
-    explode_annulus,
-    infer_grid,
-    ring_lower_bound,
-    with_cells,
+from rindex_spark.grid import explode_annulus, ring_lower_bound, with_cells
+
+_STATE_SCHEMA = (
+    "qid long, qx double, qy double, qix long, qiy long, "
+    "r_lo long, r_hi long, cnt long, kth double, "
+    "best_dist array<double>, best_id array<long>"
 )
 
 
-def _topk(cand: DataFrame, k: int) -> DataFrame:
-    """Keep each query's k best candidates, ordered by (dist, id).
+def _make_round_udf(k: int, chunk: int = 1024):
+    """Cogrouped per-query-cell kNN round: merge each query's carried
+    top-k with the candidates of the newly visited annulus."""
 
-    The distributed replacement for the reference's per-point
-    BinaryHeap of size k (node.rs:12, rindex.rs:478-482).
-    """
-    w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("id").asc())
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    def fn(queries: pd.DataFrame, cand: pd.DataFrame) -> pd.DataFrame:
+        nq = len(queries)
+        if nq == 0:
+            return pd.DataFrame(
+                columns=[
+                    "qid", "qx", "qy", "qix", "qiy", "r_lo", "r_hi",
+                    "cnt", "kth", "best_dist", "best_id",
+                ]
+            )
+        qx = queries["qx"].to_numpy(dtype=np.float64)
+        qy = queries["qy"].to_numpy(dtype=np.float64)
+        prev_d = queries["best_dist"].tolist()
+        prev_i = queries["best_id"].tolist()
+
+        nc = len(cand)
+        if nc:
+            cx = cand["x"].to_numpy(dtype=np.float64)
+            cy = cand["y"].to_numpy(dtype=np.float64)
+            cid = cand["id"].to_numpy(dtype=np.int64)
+
+        out_cnt = np.empty(nq, dtype=np.int64)
+        out_kth = np.empty(nq, dtype=np.float64)
+        out_d: list[list[float]] = [None] * nq  # type: ignore[list-item]
+        out_i: list[list[int]] = [None] * nq  # type: ignore[list-item]
+
+        if not nc:
+            for r in range(nq):
+                pd_ = prev_d[r] if prev_d[r] is not None else []
+                pi_ = prev_i[r] if prev_i[r] is not None else []
+                out_d[r] = list(pd_)
+                out_i[r] = list(pi_)
+                out_cnt[r] = len(out_d[r])
+                out_kth[r] = out_d[r][-1] if out_d[r] else np.inf
+        else:
+            cand_chunk = 8192  # bounds the distance matrix in dense cells
+            for s in range(0, nq, chunk):
+                e = min(s + chunk, nq)
+                cur_d = [
+                    np.asarray(prev_d[r], dtype=np.float64)
+                    if prev_d[r] is not None
+                    else np.empty(0)
+                    for r in range(s, e)
+                ]
+                cur_i = [
+                    np.asarray(prev_i[r], dtype=np.int64)
+                    if prev_i[r] is not None
+                    else np.empty(0, dtype=np.int64)
+                    for r in range(s, e)
+                ]
+                for cs_ in range(0, nc, cand_chunk):
+                    ce = min(cs_ + cand_chunk, nc)
+                    ids_c = cid[cs_:ce]
+                    dx = qx[s:e, None] - cx[None, cs_:ce]
+                    dy = qy[s:e, None] - cy[None, cs_:ce]
+                    d = np.sqrt(dx * dx + dy * dy)
+                    kk = min(k, ce - cs_)
+                    # O(c) selection instead of O(c log c) sort: take a
+                    # k-pool with argpartition, then widen any row whose
+                    # boundary DISTANCE TIE spills outside the pool (so
+                    # the canonical (dist, id) top-k stays exact) and
+                    # lexsort only the tiny pool per row.
+                    part = np.argpartition(d, kk - 1, axis=1)[:, :kk]
+                    pool_d = np.take_along_axis(d, part, axis=1)
+                    pmax = pool_d.max(axis=1)
+                    n_le = (d <= pmax[:, None]).sum(axis=1)
+                    for r in range(e - s):
+                        if n_le[r] > kk:
+                            idxs = np.nonzero(d[r] <= pmax[r])[0]
+                            dd, ii = d[r][idxs], ids_c[idxs]
+                        else:
+                            dd, ii = pool_d[r], ids_c[part[r]]
+                        o = np.lexsort((ii, dd))[:k]
+                        dd, ii = dd[o], ii[o]
+                        # merge (dist,id)-sorted running best with the
+                        # chunk's top-k
+                        if len(cur_d[r]):
+                            md = np.concatenate([cur_d[r], dd])
+                            mi = np.concatenate([cur_i[r], ii])
+                            mo = np.lexsort((mi, md))[:k]
+                            cur_d[r], cur_i[r] = md[mo], mi[mo]
+                        else:
+                            cur_d[r], cur_i[r] = dd, ii
+                for r in range(e - s):
+                    out_d[s + r] = cur_d[r].tolist()
+                    out_i[s + r] = cur_i[r].tolist()
+                    out_cnt[s + r] = len(cur_d[r])
+                    out_kth[s + r] = cur_d[r][-1] if len(cur_d[r]) else np.inf
+
+        return pd.DataFrame(
+            {
+                "qid": queries["qid"].to_numpy(),
+                "qx": qx,
+                "qy": qy,
+                "qix": queries["qix"].to_numpy(),
+                "qiy": queries["qiy"].to_numpy(),
+                "r_lo": queries["r_lo"].to_numpy(),
+                "r_hi": queries["r_hi"].to_numpy(),
+                "cnt": out_cnt,
+                "kth": out_kth,
+                "best_dist": out_d,
+                "best_id": out_i,
+            }
+        )
+
+    return fn
 
 
 def knn_for_queries(
@@ -67,6 +179,7 @@ def knn_for_queries(
     k: int,
     spec: GridSpec | None = None,
     cfg: EngineConfig | None = None,
+    queries_within_extent: bool = False,
 ) -> DataFrame:
     """Exact kNN of each query point against ``points``.
 
@@ -89,9 +202,7 @@ def knn_for_queries(
         return spark.createDataFrame([], out_schema)
     cfg = cfg or EngineConfig(k=k)
 
-    if spec is None:
-        spec = infer_grid(points, cfg)
-
+    # one aggregate job yields both the grid spec and the extent
     ext = points.agg(
         F.count(F.lit(1)).alias("n"),
         F.min("x").alias("xmin"),
@@ -101,23 +212,34 @@ def knn_for_queries(
     ).collect()[0]
     if not ext["n"]:
         return spark.createDataFrame([], out_schema)
-    qext = queries.agg(
-        F.min("x").alias("xmin"),
-        F.max("x").alias("xmax"),
-        F.min("y").alias("ymin"),
-        F.max("y").alias("ymax"),
-    ).collect()[0]
+    if spec is None:
+        from rindex_spark.grid import grid_from_extent
+
+        spec = grid_from_extent(ext, cfg)
+
     # Ring radius that certifies full coverage of the data extent from
     # ANY query cell (termination backstop for k > n / far-out queries):
     # the Chebyshev span of the combined data+query bounding box.
-    def _mm(fn, *vals):
-        vs = [v for v in vals if v is not None]
-        return fn(vs)
+    # queries_within_extent=True (e.g. the self kNN graph) skips the
+    # query-extent job.
+    if queries_within_extent:
+        span = max(ext["xmax"] - ext["xmin"], ext["ymax"] - ext["ymin"])
+    else:
+        qext = queries.agg(
+            F.min("x").alias("xmin"),
+            F.max("x").alias("xmax"),
+            F.min("y").alias("ymin"),
+            F.max("y").alias("ymax"),
+        ).collect()[0]
 
-    span = max(
-        _mm(max, ext["xmax"], qext["xmax"]) - _mm(min, ext["xmin"], qext["xmin"]),
-        _mm(max, ext["ymax"], qext["ymax"]) - _mm(min, ext["ymin"], qext["ymin"]),
-    )
+        def _mm(fn, *vals):
+            vs = [v for v in vals if v is not None]
+            return fn(vs)
+
+        span = max(
+            _mm(max, ext["xmax"], qext["xmax"]) - _mm(min, ext["xmin"], qext["xmin"]),
+            _mm(max, ext["ymax"], qext["ymax"]) - _mm(min, ext["ymin"], qext["ymin"]),
+        )
     r_max = int(span / spec.cell_size) + 2
 
     pts = with_cells(points.select("id", "x", "y"), spec)
@@ -132,55 +254,68 @@ def knn_for_queries(
         )
         .withColumn("r_lo", F.lit(-1).cast("long"))
         .withColumn("r_hi", F.lit(1).cast("long"))
+        .withColumn("cnt", F.lit(0).cast("long"))
+        .withColumn("kth", F.lit(float("inf")))
+        .withColumn("best_dist", F.array().cast("array<double>"))
+        .withColumn("best_id", F.array().cast("array<long>"))
     )
 
-    best: DataFrame | None = None  # (qid, id, dist) — ≤ k rows per unfinished qid
+    round_udf = _make_round_udf(k)
     finished_parts: list[DataFrame] = []
+    debug = bool(os.environ.get("RINDEX_DEBUG_TIMING"))
+    group_keys = ["qix", "qiy", "r_lo", "r_hi"]
 
-    for _ in range(cfg.max_rounds):
-        cells = explode_annulus(frontier, F.col("r_lo"), F.col("r_hi"))
-        new_cand = cells.join(
+    for _round in range(cfg.max_rounds):
+        _t0 = _time.monotonic()
+        # candidate points for each DISTINCT (query cell, ring window) —
+        # point rows are replicated per ring cell, never per query
+        # rename the candidate-side keys: both sides descend from the
+        # same frontier lineage, and cogroup keys align POSITIONALLY, so
+        # fresh names avoid Catalyst's ambiguous-self-join trap
+        ring_keys = frontier.select(
+            F.col("qix").alias("kix"),
+            F.col("qiy").alias("kiy"),
+            F.col("r_lo").alias("klo"),
+            F.col("r_hi").alias("khi"),
+        ).distinct()
+        cells = explode_annulus(ring_keys, F.col("klo"), F.col("khi"), qix="kix", qiy="kiy")
+        cand = cells.join(
             pts,
-            (cells["cix"] == pts["ix"]) & (cells["ciy"] == pts["iy"]),
+            (F.col("cix") == pts["ix"]) & (F.col("ciy") == pts["iy"]),
             "inner",
-        ).select(
-            "qid",
-            "id",
-            euclidean(F.col("qx"), F.col("qy"), F.col("x"), F.col("y")).alias("dist"),
-        )
-        all_cand = new_cand if best is None else best.unionByName(new_cand)
-        topk = _topk(all_cand, k).localCheckpoint(eager=True)
+        ).select("kix", "kiy", "klo", "khi", "id", "x", "y")
 
-        stats = topk.groupBy("qid").agg(
-            F.count(F.lit(1)).alias("cnt"), F.max("dist").alias("kth")
-        )
-        lb = ring_lower_bound(
-            spec, F.col("qx"), F.col("qy"), F.col("qix"), F.col("qiy"), F.col("r_hi")
-        )
-        meta = (
-            frontier.join(stats, "qid", "left")
-            .na.fill({"cnt": 0})
-            .withColumn("lb", lb)
-            .withColumn(
-                "is_done",
-                ((F.col("cnt") >= k) & (F.col("kth") < F.col("lb")))
-                | (F.col("r_hi") >= r_max),
-            )
+        state = (
+            frontier.groupBy(*group_keys)
+            .cogroup(cand.groupBy("kix", "kiy", "klo", "khi"))
+            .applyInPandas(round_udf, schema=_STATE_SCHEMA)
             .localCheckpoint(eager=True)
         )
 
-        done_ids = meta.filter("is_done").select("qid")
-        finished_parts.append(topk.join(done_ids, "qid", "left_semi"))
+        lb = ring_lower_bound(
+            spec, F.col("qx"), F.col("qy"), F.col("qix"), F.col("qiy"), F.col("r_hi")
+        )
+        state = state.withColumn("lb", lb).withColumn(
+            "is_done",
+            ((F.col("cnt") >= k) & (F.col("kth") < F.col("lb")))
+            | (F.col("r_hi") >= r_max),
+        )
+
+        finished_parts.append(
+            state.filter("is_done").select(
+                "qid",
+                F.posexplode(F.arrays_zip("best_dist", "best_id")).alias("pos", "z"),
+            )
+        )
 
         next_frontier = (
-            meta.filter(~F.col("is_done"))
+            state.filter(~F.col("is_done"))
             .withColumn("r_lo", F.col("r_hi"))
             .withColumn(
-                # Ring jump: once k candidates exist, lb(R') >= R'*cs, so
-                # R' = floor(kth/cs)+1 certifies the current k-th distance
-                # in one more round.  Clamped geometrically (<= 2R+8) so a
-                # single sparse query can't explode a huge annulus, and to
-                # r_max (full coverage).
+                # Ring jump: lb(R') >= R'*cs, so R' = floor(kth/cs)+1
+                # certifies the current k-th distance in one more round.
+                # Geometric clamp (<= 2R+8) bounds annulus size; r_max
+                # caps at full coverage.
                 "r_hi",
                 F.least(
                     F.greatest(
@@ -194,15 +329,18 @@ def knn_for_queries(
                     F.lit(r_max).cast("long"),
                 ),
             )
-            .select("qid", "qx", "qy", "qix", "qiy", "r_lo", "r_hi")
+            .drop("lb", "is_done")
         )
         n_left = next_frontier.count()
+        if debug:
+            print(
+                f"[knn round {_round}] left={n_left} "
+                f"{_time.monotonic() - _t0:.2f}s cs={spec.cell_size:.3g}",
+                flush=True,
+            )
         if n_left == 0:
             break
         frontier = next_frontier
-        best = topk.join(frontier.select("qid"), "qid", "left_semi").select(
-            "qid", "id", "dist"
-        )
     else:
         raise RuntimeError(
             f"knn_for_queries did not converge in {cfg.max_rounds} rounds"
@@ -214,7 +352,12 @@ def knn_for_queries(
     # bound the output partition count: the union concatenates one
     # partition set per ring round
     out = out.coalesce(max(spark.sparkContext.defaultParallelism, 2))
-    return out.select("qid", "id", "dist", F.col("rank").cast("int").alias("rank"))
+    return out.select(
+        "qid",
+        F.col("z.best_id").alias("id"),
+        F.col("z.best_dist").alias("dist"),
+        (F.col("pos") + 1).cast("int").alias("rank"),
+    )
 
 
 def build_knn_graph(
@@ -232,7 +375,7 @@ def build_knn_graph(
     returns: (src long, dst long, dist double, rank int)
     """
     queries = points.select(F.col("id").alias("qid"), "x", "y")
-    g = knn_for_queries(points, queries, k, spec=spec, cfg=cfg)
+    g = knn_for_queries(points, queries, k, spec=spec, cfg=cfg, queries_within_extent=True)
     return g.select(
         F.col("qid").alias("src"), F.col("id").alias("dst"), "dist", "rank"
     )

@@ -181,3 +181,18 @@ def test_knn_queries_far_outside_extent(spark):
     # nearest to (500,500) is (9,9) = id 99, then (8,9)=98 / (9,8)=89
     assert rows[0]["id"] == 99
     assert {rows[1]["id"], rows[2]["id"]} == {89, 98}
+
+
+def test_asymmetric_extent_grid(spark):
+    """Regression: cell y-indices must use the Y origin.  With x0 != y0
+    (asymmetric bbox) a shared-origin grid silently breaks every
+    y-direction pruning bound (infinite ring loops or wrong results)."""
+    rng = np.random.default_rng(21)
+    coords = np.column_stack(
+        [rng.uniform(-96.0, 90.0, 250), rng.uniform(-40.0, 95.0, 250)]
+    )
+    pts = make_points(spark, coords).cache()
+    k = 8
+    graph = build_knn_graph(pts, k)  # inferred grid: x0=-96-ish, y0=-40-ish
+    oracle = brute_knn(coords, np.arange(len(coords)), k)
+    check_graph_vs_oracle(graph.collect(), oracle)
