@@ -12,29 +12,34 @@ Distributed re-expression: iterative **cell-ring expansion** with the
 kNN math in vectorized Arrow UDFs (the north_star architecture):
 
 round r:
-  1. the distinct (query-cell, ring-window) keys explode to their
-     Chebyshev ANNULUS of candidate cells (pure sequence/explode) and
-     equi-join the points — shuffle volume is points x ring-size, NOT
-     queries x occupancy (the naive pair-join blows up quadratically in
-     dense cells).
-  2. queries and candidates COGROUP on the query cell; a pandas UDF
-     computes, per group, the full numpy distance matrix (chunked),
-     stable-argsorts it in (dist, id) order, and merges each query's
-     new top-k with its carried best-so-far list.
+  1. queries group by SUPERCELL (4x4 grid cells — grouping at cell
+     granularity ships each point 9x through Arrow; supercell halos cut
+     replication to ~2.3x and slash the per-group pandas overhead).
+     Distinct (supercell, ring-window) keys explode to the supercell
+     block DILATED by the ring radius (pure sequence/explode) and
+     equi-join the points.
+  2. queries and candidates COGROUP on the supercell key; a pandas UDF
+     computes, per group, the numpy distance matrix (chunked on both
+     axes, in-place temporaries), selects each query's top-k via
+     argpartition with tie-exact boundary widening, and merges it into
+     the query's carried best list (packed binary, not Arrow lists —
+     object-per-element serialization dominates otherwise).  The halo
+     may re-scan cells a query already saw; the merge dedupes exact
+     (dist, id) duplicates, so over-inclusion never corrupts the top-k.
   3. a query finishes when its k-th distance is STRICTLY below the
-     minimum possible distance of any unvisited cell
-     (grid.ring_lower_bound — the exact invariant of rindex.rs:800-802)
-     or the ring already covers the whole data extent.
+     minimum possible distance of any cell outside its visited ring
+     (grid.ring_lower_bound — the exact invariant of rindex.rs:800-802;
+     the halo only ever visits MORE than the ring, so the bound stays
+     conservative) or the ring covers the whole data extent.
   4. unfinished queries jump their ring radius to the certifying radius
      (floor(kth/cs)+1), clamped geometrically; the frontier shrinks
      monotonically.
 
 Scale notes (100 TB posture):
-* per round: one equi-join keyed on cell ints + one cogroup shuffle —
-  both AQE-managed; nothing driver-side grows with data (the loop keeps
-  only frontier row counts).
-* dense (urban/hot) cells cost O(occupancy) numpy flops per query, not
-  O(occupancy) shuffled rows per query — C-speed instead of shuffle.
+* per round: one equi-join keyed on supercell ints + one cogroup
+  shuffle — both AQE-managed; nothing driver-side grows with data (the
+  loop keeps only frontier row counts).
+* dense (urban/hot) cells cost numpy flops, not shuffled rows.
 * determinism: candidates ordered by (dist, id); ties at the k-th
   distance break by id (the reference's order is arbitrary on ties —
   its tests compare sets/multisets only, lib/tests/graph.rs:60-67).
@@ -53,106 +58,114 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from rindex_spark.config import EngineConfig, GridSpec
-from rindex_spark.grid import explode_annulus, ring_lower_bound, with_cells
+from rindex_spark.grid import ring_lower_bound, with_cells
+
+_SUPER = 8  # grid cells per supercell side (power of 2: >> 3)
+_SUPER_SHIFT = 3
 
 _STATE_SCHEMA = (
     "qid long, qx double, qy double, qix long, qiy long, "
     "r_lo long, r_hi long, cnt long, kth double, "
-    "best_dist array<double>, best_id array<long>"
+    "best_dist binary, best_id binary"
 )
 
 
-def _make_round_udf(k: int, chunk: int = 1024):
-    """Cogrouped per-query-cell kNN round: merge each query's carried
-    top-k with the candidates of the newly visited annulus."""
+def _make_round_udf(k: int, chunk: int = 256, cand_chunk: int = 4096):
+    """Cogrouped per-supercell kNN round: merge each query's carried
+    top-k (packed binary) with the candidates of its dilated block."""
+
+    empty = pd.DataFrame(
+        columns=[
+            "qid", "qx", "qy", "qix", "qiy", "r_lo", "r_hi",
+            "cnt", "kth", "best_dist", "best_id",
+        ]
+    )
 
     def fn(queries: pd.DataFrame, cand: pd.DataFrame) -> pd.DataFrame:
         nq = len(queries)
         if nq == 0:
-            return pd.DataFrame(
-                columns=[
-                    "qid", "qx", "qy", "qix", "qiy", "r_lo", "r_hi",
-                    "cnt", "kth", "best_dist", "best_id",
-                ]
-            )
+            return empty
         qx = queries["qx"].to_numpy(dtype=np.float64)
         qy = queries["qy"].to_numpy(dtype=np.float64)
-        prev_d = queries["best_dist"].tolist()
-        prev_i = queries["best_id"].tolist()
+        prev_d = [
+            np.frombuffer(b, dtype=np.float64) if b else np.empty(0)
+            for b in queries["best_dist"]
+        ]
+        prev_i = [
+            np.frombuffer(b, dtype=np.int64) if b else np.empty(0, dtype=np.int64)
+            for b in queries["best_id"]
+        ]
 
         nc = len(cand)
         if nc:
-            cx = cand["x"].to_numpy(dtype=np.float64)
-            cy = cand["y"].to_numpy(dtype=np.float64)
-            cid = cand["id"].to_numpy(dtype=np.int64)
+            # pre-sort candidates by id ONCE: a stable argsort on
+            # distance then yields exact (dist, id) order with zero
+            # per-row tie handling
+            order = np.argsort(cand["id"].to_numpy(), kind="stable")
+            cx = cand["x"].to_numpy(dtype=np.float64)[order]
+            cy = cand["y"].to_numpy(dtype=np.float64)[order]
+            cid = cand["id"].to_numpy(dtype=np.int64)[order]
 
         out_cnt = np.empty(nq, dtype=np.int64)
         out_kth = np.empty(nq, dtype=np.float64)
-        out_d: list[list[float]] = [None] * nq  # type: ignore[list-item]
-        out_i: list[list[int]] = [None] * nq  # type: ignore[list-item]
+        out_d: list[bytes] = [b""] * nq
+        out_i: list[bytes] = [b""] * nq
 
-        if not nc:
-            for r in range(nq):
-                pd_ = prev_d[r] if prev_d[r] is not None else []
-                pi_ = prev_i[r] if prev_i[r] is not None else []
-                out_d[r] = list(pd_)
-                out_i[r] = list(pi_)
-                out_cnt[r] = len(out_d[r])
-                out_kth[r] = out_d[r][-1] if out_d[r] else np.inf
-        else:
-            cand_chunk = 8192  # bounds the distance matrix in dense cells
-            for s in range(0, nq, chunk):
-                e = min(s + chunk, nq)
-                cur_d = [
-                    np.asarray(prev_d[r], dtype=np.float64)
-                    if prev_d[r] is not None
-                    else np.empty(0)
-                    for r in range(s, e)
-                ]
-                cur_i = [
-                    np.asarray(prev_i[r], dtype=np.int64)
-                    if prev_i[r] is not None
-                    else np.empty(0, dtype=np.int64)
-                    for r in range(s, e)
-                ]
+        for s in range(0, nq, chunk):
+            e = min(s + chunk, nq)
+            cur_d = prev_d[s:e]
+            cur_i = prev_i[s:e]
+            if nc:
+                # fresh queries (round 0 fast path) have no carried best
+                any_prev = any(len(v) for v in cur_d)
                 for cs_ in range(0, nc, cand_chunk):
                     ce = min(cs_ + cand_chunk, nc)
-                    ids_c = cid[cs_:ce]
-                    dx = qx[s:e, None] - cx[None, cs_:ce]
+                    # in-place ops: one temporary matrix, not five —
+                    # large-temporary churn across many concurrent
+                    # workers causes kernel page-fault contention that
+                    # ANTI-scales with core count
+                    d = qx[s:e, None] - cx[None, cs_:ce]
+                    np.multiply(d, d, out=d)
                     dy = qy[s:e, None] - cy[None, cs_:ce]
-                    d = np.sqrt(dx * dx + dy * dy)
+                    np.multiply(dy, dy, out=dy)
+                    d += dy
+                    del dy
+                    np.sqrt(d, out=d)
                     kk = min(k, ce - cs_)
-                    # O(c) selection instead of O(c log c) sort: take a
-                    # k-pool with argpartition, then widen any row whose
-                    # boundary DISTANCE TIE spills outside the pool (so
-                    # the canonical (dist, id) top-k stays exact) and
-                    # lexsort only the tiny pool per row.
-                    part = np.argpartition(d, kk - 1, axis=1)[:, :kk]
-                    pool_d = np.take_along_axis(d, part, axis=1)
-                    pmax = pool_d.max(axis=1)
-                    n_le = (d <= pmax[:, None]).sum(axis=1)
-                    for r in range(e - s):
-                        if n_le[r] > kk:
-                            idxs = np.nonzero(d[r] <= pmax[r])[0]
-                            dd, ii = d[r][idxs], ids_c[idxs]
-                        else:
-                            dd, ii = pool_d[r], ids_c[part[r]]
-                        o = np.lexsort((ii, dd))[:k]
-                        dd, ii = dd[o], ii[o]
-                        # merge (dist,id)-sorted running best with the
-                        # chunk's top-k
-                        if len(cur_d[r]):
-                            md = np.concatenate([cur_d[r], dd])
-                            mi = np.concatenate([cur_i[r], ii])
-                            mo = np.lexsort((mi, md))[:k]
-                            cur_d[r], cur_i[r] = md[mo], mi[mo]
-                        else:
-                            cur_d[r], cur_i[r] = dd, ii
-                for r in range(e - s):
-                    out_d[s + r] = cur_d[r].tolist()
-                    out_i[s + r] = cur_i[r].tolist()
-                    out_cnt[s + r] = len(cur_d[r])
-                    out_kth[s + r] = cur_d[r][-1] if len(cur_d[r]) else np.inf
+                    # stable argsort on distance over id-sorted columns
+                    # = exact (dist, id) order, fully vectorized (the
+                    # adaptive grid bounds nc, so c log c stays cheap)
+                    idx = np.argsort(d, axis=1, kind="stable")[:, :kk]
+                    dd_all = np.take_along_axis(d, idx, axis=1)
+                    ii_all = cid[cs_:ce][idx]
+                    del d
+                    if not any_prev and ce - cs_ == nc:
+                        # vectorized fast path: single candidate chunk,
+                        # nothing carried — assign without per-row merge
+                        for r in range(e - s):
+                            cur_d[r] = dd_all[r]
+                            cur_i[r] = ii_all[r]
+                    else:
+                        for r in range(e - s):
+                            if len(cur_d[r]):
+                                # merge with running best; the halo may
+                                # re-scan visited cells, so DEDUPE exact
+                                # (dist,id) duplicates (equal keys sort
+                                # adjacent)
+                                md = np.concatenate([cur_d[r], dd_all[r]])
+                                mi = np.concatenate([cur_i[r], ii_all[r]])
+                                mo = np.lexsort((mi, md))
+                                md, mi = md[mo], mi[mo]
+                                keep = np.ones(len(mi), dtype=bool)
+                                keep[1:] = (mi[1:] != mi[:-1]) | (md[1:] != md[:-1])
+                                cur_d[r], cur_i[r] = md[keep][:k], mi[keep][:k]
+                            else:
+                                cur_d[r], cur_i[r] = dd_all[r], ii_all[r]
+            for r in range(e - s):
+                out_d[s + r] = cur_d[r].tobytes()
+                out_i[s + r] = cur_i[r].tobytes()
+                out_cnt[s + r] = len(cur_d[r])
+                out_kth[s + r] = cur_d[r][-1] if len(cur_d[r]) else np.inf
 
         return pd.DataFrame(
             {
@@ -171,6 +184,105 @@ def _make_round_udf(k: int, chunk: int = 1024):
         )
 
     return fn
+
+
+def _small_frontier_knn(points: DataFrame, frontier_rows, k: int) -> DataFrame:
+    """Exact kNN for a SMALL query set by broadcast + one map pass over
+    the points (no candidate generation at all).  Straggler queries
+    after the bulk round typically sit in sparse regions whose certify
+    radius sweeps dense areas — ring candidates explode there, while a
+    full scan is a few hundred numpy flops per point.
+
+    frontier_rows: collected rows with qid/qx/qy (driver-scale by
+    contract: callers gate on a flop budget).  Returns
+    (qid, id, dist, rank)."""
+    qid = np.array([r["qid"] for r in frontier_rows], dtype=np.int64)
+    qx = np.array([r["qx"] for r in frontier_rows], dtype=np.float64)
+    qy = np.array([r["qy"] for r in frontier_rows], dtype=np.float64)
+
+    def scan(batches):
+        # per-partition running top-k per query
+        best_d = [np.empty(0)] * len(qid)
+        best_i = [np.empty(0, dtype=np.int64)] * len(qid)
+        for b in batches:
+            px = b["x"].to_numpy(dtype=np.float64)
+            py = b["y"].to_numpy(dtype=np.float64)
+            pid = b["id"].to_numpy(dtype=np.int64)
+            order = np.argsort(pid, kind="stable")
+            px, py, pid = px[order], py[order], pid[order]
+            for s in range(0, len(qid), 128):
+                e = min(s + 128, len(qid))
+                d = qx[s:e, None] - px[None, :]
+                np.multiply(d, d, out=d)
+                dy = qy[s:e, None] - py[None, :]
+                np.multiply(dy, dy, out=dy)
+                d += dy
+                del dy
+                np.sqrt(d, out=d)
+                kk = min(k, d.shape[1])
+                idx = np.argsort(d, axis=1, kind="stable")[:, :kk]
+                dd_all = np.take_along_axis(d, idx, axis=1)
+                ii_all = pid[idx]
+                for r in range(e - s):
+                    if len(best_d[s + r]):
+                        md = np.concatenate([best_d[s + r], dd_all[r]])
+                        mi = np.concatenate([best_i[s + r], ii_all[r]])
+                        mo = np.lexsort((mi, md))[:k]
+                        best_d[s + r], best_i[s + r] = md[mo], mi[mo]
+                    else:
+                        best_d[s + r], best_i[s + r] = dd_all[r], ii_all[r]
+        rows = {
+            "qid": [], "id": [], "dist": [], "rank": [],
+        }
+        for r in range(len(qid)):
+            n = len(best_d[r])
+            if not n:
+                continue
+            rows["qid"].append(np.full(n, qid[r], dtype=np.int64))
+            rows["id"].append(best_i[r])
+            rows["dist"].append(best_d[r])
+            rows["rank"].append(np.arange(1, n + 1, dtype=np.int32))
+        if rows["qid"]:
+            yield pd.DataFrame({c: np.concatenate(v) for c, v in rows.items()})
+
+    partials = points.select("id", "x", "y").mapInPandas(
+        scan, schema="qid long, id long, dist double, rank int"
+    )
+    # partition-local top-k lists -> global top-k (tiny volume:
+    # n_queries * k * n_partitions rows)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("id").asc())
+    return (
+        partials.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("qid", "id", "dist", F.col("rk").cast("int").alias("rank"))
+    )
+
+
+def _unpack_best(batches):
+    """mapInPandas: packed binary best lists -> (qid, id, dist, rank)."""
+    for b in batches:
+        qids, ids, dists, ranks = [], [], [], []
+        for qid, bd, bi in zip(b["qid"], b["best_dist"], b["best_id"]):
+            if not bd:
+                continue
+            d = np.frombuffer(bd, dtype=np.float64)
+            i = np.frombuffer(bi, dtype=np.int64)
+            n = len(d)
+            qids.append(np.full(n, qid, dtype=np.int64))
+            ids.append(i)
+            dists.append(d)
+            ranks.append(np.arange(1, n + 1, dtype=np.int32))
+        if qids:
+            yield pd.DataFrame(
+                {
+                    "qid": np.concatenate(qids),
+                    "id": np.concatenate(ids),
+                    "dist": np.concatenate(dists),
+                    "rank": np.concatenate(ranks),
+                }
+            )
 
 
 def knn_for_queries(
@@ -213,9 +325,26 @@ def knn_for_queries(
     if not ext["n"]:
         return spark.createDataFrame([], out_schema)
     if spec is None:
-        from rindex_spark.grid import grid_from_extent
+        from rindex_spark.grid import grid_from_extent, infer_grid_adaptive
 
         spec = grid_from_extent(ext, cfg)
+        # density-adaptive shrink: skewed (clustered/urban) data makes
+        # mean-sized cells quadratically expensive in the cores
+        from rindex_spark.grid import with_cells as _wc
+
+        occ = (
+            _wc(points.select("x", "y"), spec)
+            .groupBy("ix", "iy")
+            .agg(F.count(F.lit(1)).alias("occ"))
+        )
+        p = occ.agg(F.expr("percentile(occ, 0.95, occ)").alias("p")).collect()[0]["p"]
+        t = cfg.effective_target_per_cell
+        if p and p > 2.0 * t:
+            spec = GridSpec(
+                cell_size=max(spec.cell_size * (t / p) ** 0.5, 1e-9),
+                x0=spec.x0,
+                y0=spec.y0,
+            )
 
     # Ring radius that certifies full coverage of the data extent from
     # ANY query cell (termination backstop for k > n / far-out queries):
@@ -243,6 +372,33 @@ def knn_for_queries(
     r_max = int(span / spec.cell_size) + 2
 
     pts = with_cells(points.select("id", "x", "y"), spec)
+    pts = pts.withColumn("sx", F.shiftright("ix", _SUPER_SHIFT)).withColumn(
+        "sy", F.shiftright("iy", _SUPER_SHIFT)
+    )
+
+    # initial ring radius per SUPERCELL, derived from local density: the
+    # smallest window expected to hold >= k neighbors.  Dense cores get
+    # khi=1; sparse regions start wide instead of burning rounds (one
+    # khi per supercell, so the group count is unchanged).
+    sc_counts = (
+        pts.groupBy("sx", "sy")
+        .agg(F.count(F.lit(1)).alias("sc_n"))
+        # fresh names: frontier may share lineage with pts (self kNN),
+        # and same-name keys trip Catalyst's ambiguous-self-join check
+        .select(
+            F.col("sx").alias("scx"), F.col("sy").alias("scy"), "sc_n"
+        )
+    )
+    occ_cell = F.col("sc_n") / F.lit(float(_SUPER * _SUPER))
+    khi0 = F.least(
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.ceil(F.sqrt(F.lit(float(2 * k)) / F.greatest(occ_cell, F.lit(0.05)))).cast(
+                "long"
+            ),
+        ),
+        F.lit(r_max).cast("long"),
+    )
 
     frontier = (
         with_cells(
@@ -252,42 +408,75 @@ def knn_for_queries(
             y="qy",
             prefix="q",
         )
+        .withColumn("sx", F.shiftright("qix", _SUPER_SHIFT))
+        .withColumn("sy", F.shiftright("qiy", _SUPER_SHIFT))
+        .join(
+            F.broadcast(sc_counts),
+            (F.col("sx") == F.col("scx")) & (F.col("sy") == F.col("scy")),
+            "left",
+        )
+        .drop("scx", "scy")
+        .na.fill({"sc_n": 0})
         .withColumn("r_lo", F.lit(-1).cast("long"))
-        .withColumn("r_hi", F.lit(1).cast("long"))
+        .withColumn("r_hi", khi0)
+        .drop("sc_n")
         .withColumn("cnt", F.lit(0).cast("long"))
         .withColumn("kth", F.lit(float("inf")))
-        .withColumn("best_dist", F.array().cast("array<double>"))
-        .withColumn("best_id", F.array().cast("array<long>"))
+        .withColumn("best_dist", F.lit(b""))
+        .withColumn("best_id", F.lit(b""))
     )
 
     round_udf = _make_round_udf(k)
     finished_parts: list[DataFrame] = []
     debug = bool(os.environ.get("RINDEX_DEBUG_TIMING"))
-    group_keys = ["qix", "qiy", "r_lo", "r_hi"]
+    group_keys = ["sx", "sy", "r_lo", "r_hi"]
 
     for _round in range(cfg.max_rounds):
         _t0 = _time.monotonic()
-        # candidate points for each DISTINCT (query cell, ring window) —
-        # point rows are replicated per ring cell, never per query
-        # rename the candidate-side keys: both sides descend from the
-        # same frontier lineage, and cogroup keys align POSITIONALLY, so
-        # fresh names avoid Catalyst's ambiguous-self-join trap
+        # candidate points for each DISTINCT (supercell, ring window):
+        # the supercell block dilated by r_hi — in SUPERCELL units the
+        # halo is ceil(r_hi / S) so the explode stays small; cell-exact
+        # over-inclusion is fine (the UDF merge dedupes).
         ring_keys = frontier.select(
-            F.col("qix").alias("kix"),
-            F.col("qiy").alias("kiy"),
+            F.col("sx").alias("ksx"),
+            F.col("sy").alias("ksy"),
             F.col("r_lo").alias("klo"),
             F.col("r_hi").alias("khi"),
         ).distinct()
-        cells = explode_annulus(ring_keys, F.col("klo"), F.col("khi"), qix="kix", qiy="kiy")
-        cand = cells.join(
-            pts,
-            (F.col("cix") == pts["ix"]) & (F.col("ciy") == pts["iy"]),
-            "inner",
-        ).select("kix", "kiy", "klo", "khi", "id", "x", "y")
+        halo = F.ceil(F.col("khi") / F.lit(_SUPER)).cast("long")
+        cells = ring_keys.withColumn(
+            "csx", F.explode(F.sequence(F.col("ksx") - halo, F.col("ksx") + halo))
+        ).withColumn(
+            "csy", F.explode(F.sequence(F.col("ksy") - halo, F.col("ksy") + halo))
+        )
+        # cell-exact trim of the supercell halo: keep only points within
+        # Chebyshev khi CELLS of the supercell's member-cell range (the
+        # union of every member query's needed annulus)
+        lo_x = F.col("ksx") * _SUPER - F.col("khi")
+        hi_x = F.col("ksx") * _SUPER + (_SUPER - 1) + F.col("khi")
+        lo_y = F.col("ksy") * _SUPER - F.col("khi")
+        hi_y = F.col("ksy") * _SUPER + (_SUPER - 1) + F.col("khi")
+        # qualified alias: frontier's subtree references pts (density
+        # join), so this is a self-join from Catalyst's point of view
+        cp = pts.alias("cp")
+        cand = (
+            cells.join(
+                cp,
+                (F.col("csx") == F.col("cp.sx")) & (F.col("csy") == F.col("cp.sy")),
+                "inner",
+            )
+            .filter(
+                (F.col("cp.ix") >= lo_x)
+                & (F.col("cp.ix") <= hi_x)
+                & (F.col("cp.iy") >= lo_y)
+                & (F.col("cp.iy") <= hi_y)
+            )
+            .select("ksx", "ksy", "klo", "khi", "cp.id", "cp.x", "cp.y")
+        )
 
         state = (
             frontier.groupBy(*group_keys)
-            .cogroup(cand.groupBy("kix", "kiy", "klo", "khi"))
+            .cogroup(cand.groupBy("ksx", "ksy", "klo", "khi"))
             .applyInPandas(round_udf, schema=_STATE_SCHEMA)
             .localCheckpoint(eager=True)
         )
@@ -302,20 +491,21 @@ def knn_for_queries(
         )
 
         finished_parts.append(
-            state.filter("is_done").select(
-                "qid",
-                F.posexplode(F.arrays_zip("best_dist", "best_id")).alias("pos", "z"),
-            )
+            state.filter("is_done")
+            .select("qid", "best_dist", "best_id")
+            .mapInPandas(_unpack_best, schema=out_schema)
         )
 
         next_frontier = (
             state.filter(~F.col("is_done"))
+            .withColumn("sx", F.shiftright("qix", _SUPER_SHIFT))
+            .withColumn("sy", F.shiftright("qiy", _SUPER_SHIFT))
             .withColumn("r_lo", F.col("r_hi"))
             .withColumn(
                 # Ring jump: lb(R') >= R'*cs, so R' = floor(kth/cs)+1
                 # certifies the current k-th distance in one more round.
-                # Geometric clamp (<= 2R+8) bounds annulus size; r_max
-                # caps at full coverage.
+                # Geometric clamp (<= 2R+8) bounds halo size; r_max caps
+                # at full coverage.
                 "r_hi",
                 F.least(
                     F.greatest(
@@ -340,6 +530,15 @@ def knn_for_queries(
             )
         if n_left == 0:
             break
+        # small-frontier fallback: stragglers in sparse regions have
+        # certify radii that sweep dense areas — ring candidates explode
+        # there while a broadcast full scan costs a few flops per point.
+        if n_left * ext["n"] <= 4e9 or n_left <= 512:
+            rows = next_frontier.select("qid", "qx", "qy").collect()
+            finished_parts.append(_small_frontier_knn(points, rows, k))
+            if debug:
+                print(f"[knn brute] {n_left} stragglers via full scan", flush=True)
+            break
         frontier = next_frontier
     else:
         raise RuntimeError(
@@ -351,13 +550,7 @@ def knn_for_queries(
         out = out.unionByName(part)
     # bound the output partition count: the union concatenates one
     # partition set per ring round
-    out = out.coalesce(max(spark.sparkContext.defaultParallelism, 2))
-    return out.select(
-        "qid",
-        F.col("z.best_id").alias("id"),
-        F.col("z.best_dist").alias("dist"),
-        (F.col("pos") + 1).cast("int").alias("rank"),
-    )
+    return out.coalesce(max(spark.sparkContext.defaultParallelism, 2))
 
 
 def build_knn_graph(
