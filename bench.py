@@ -29,7 +29,66 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 
+def scaling_run(n_pages: int | None = None) -> None:
+    """The N-vs-4N scaling evidence job (north_rule): the same e2e
+    pages -> extract -> exact kNN-graph pipeline, at whatever core count
+    SPARK_GRAFT_CPUS names.  Run with 8 and 32 and compare docs_per_min
+    (see BENCH.md)."""
+    import time as _t
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_pages = n_pages or int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "2000000"))
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("rindex-spark-scaling")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "48g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from rindex_spark.datagen import generate_pages
+    from rindex_spark.operators.knn import build_knn_graph
+    from rindex_spark.sources.pages import points_from_pages
+
+    def _warm(it):
+        import numpy  # noqa: F401
+
+        yield from it
+
+    spark.range(0, 1024, 1, 64).mapInPandas(_warm, "id long").count()
+
+    t0 = _t.monotonic()
+    pages = generate_pages(spark, n_pages, dist="clustered", seed=42, partitions=64)
+    pts = points_from_pages(pages).cache()
+    n = pts.count()
+    rows = build_knn_graph(pts, 10).count()
+    el = _t.monotonic() - t0
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_e2e_knn_graph_sec",
+                "value": round(el, 1),
+                "unit": "sec",
+                "cpus": cpus,
+                "n_pages": n,
+                "n_graph_rows": rows,
+                "docs_per_min": round(n / el * 60.0, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
 def main() -> None:
+    if "--scaling" in sys.argv:
+        scaling_run()
+        return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -60,6 +119,15 @@ def main() -> None:
     from rindex_spark.operators.rknn import reverse_knn
     from rindex_spark.operators.tiling import assign_tiles
     from rindex_spark.sources.pages import points_from_pages
+
+    # warm the python UDF workers once (long-lived executors on a real
+    # cluster; excluding interpreter startup from per-query timings)
+    def _warm(it):
+        import numpy  # noqa: F401
+
+        yield from it
+
+    spark.range(0, 1024, 1, max(cpus * 2, 16)).mapInPandas(_warm, "id long").count()
 
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     n_events = events.count()
@@ -105,15 +173,12 @@ def main() -> None:
     cfg = EngineConfig(k=k)
     spec = infer_grid(pts, cfg)
 
-    graph = bench("knn_graph_events", lambda: build_knn_graph(pts, k, spec=spec))
-    # materialize once; reused by rknn
-    graph = graph.cache()
-    timings["knn_graph_events"] += 0.0
-    t0 = time.monotonic()
-    graph.count()
-    timings["knn_graph_events"] = round(
-        timings["knn_graph_events"] + time.monotonic() - t0, 3
-    )
+    def _graph():
+        g = build_knn_graph(pts, k, spec=spec).cache()
+        g.count()
+        return g
+
+    graph = bench("knn_graph_events", _graph)
 
     q = pts.filter((F.col("id") % 101) == 0).select(
         F.col("id").alias("qid"), "x", "y", F.lit(8.0).alias("radius")

