@@ -65,9 +65,15 @@ _SUPER_SHIFT = 3
 
 _STATE_SCHEMA = (
     "qid long, qx double, qy double, qix long, qiy long, "
-    "r_lo long, r_hi long, cnt long, kth double, "
+    "r_lo long, r_hi long, salt long, cnt long, kth double, "
     "best_dist binary, best_id binary"
 )
+
+# a single cogroup task must not exceed this many queries — hot
+# supercells (urban density / point masses) get salted into sub-groups
+# (the north_star's "salted repartitioning on hot cells"; candidates
+# are replicated per salt, queries are split)
+_MAX_GROUP_QUERIES = 32768
 
 
 def _make_round_udf(k: int, chunk: int = 256, cand_chunk: int = 4096):
@@ -176,6 +182,7 @@ def _make_round_udf(k: int, chunk: int = 256, cand_chunk: int = 4096):
                 "qiy": queries["qiy"].to_numpy(),
                 "r_lo": queries["r_lo"].to_numpy(),
                 "r_hi": queries["r_hi"].to_numpy(),
+                "salt": queries["salt"].to_numpy(),
                 "cnt": out_cnt,
                 "kth": out_kth,
                 "best_dist": out_d,
@@ -419,6 +426,18 @@ def knn_for_queries(
         .na.fill({"sc_n": 0})
         .withColumn("r_lo", F.lit(-1).cast("long"))
         .withColumn("r_hi", khi0)
+        .withColumn(
+            # hot-supercell salting: split oversized query groups so no
+            # single task owns a skewed cell
+            "salt",
+            F.when(
+                F.col("sc_n") > _MAX_GROUP_QUERIES,
+                F.pmod(
+                    F.xxhash64("qid"),
+                    F.ceil(F.col("sc_n") / F.lit(_MAX_GROUP_QUERIES)).cast("long"),
+                ),
+            ).otherwise(F.lit(0).cast("long")),
+        )
         .drop("sc_n")
         .withColumn("cnt", F.lit(0).cast("long"))
         .withColumn("kth", F.lit(float("inf")))
@@ -429,7 +448,7 @@ def knn_for_queries(
     round_udf = _make_round_udf(k)
     finished_parts: list[DataFrame] = []
     debug = bool(os.environ.get("RINDEX_DEBUG_TIMING"))
-    group_keys = ["sx", "sy", "r_lo", "r_hi"]
+    group_keys = ["sx", "sy", "r_lo", "r_hi", "salt"]
 
     for _round in range(cfg.max_rounds):
         _t0 = _time.monotonic()
@@ -442,6 +461,7 @@ def knn_for_queries(
             F.col("sy").alias("ksy"),
             F.col("r_lo").alias("klo"),
             F.col("r_hi").alias("khi"),
+            F.col("salt").alias("ksalt"),
         ).distinct()
         halo = F.ceil(F.col("khi") / F.lit(_SUPER)).cast("long")
         cells = ring_keys.withColumn(
@@ -471,12 +491,12 @@ def knn_for_queries(
                 & (F.col("cp.iy") >= lo_y)
                 & (F.col("cp.iy") <= hi_y)
             )
-            .select("ksx", "ksy", "klo", "khi", "cp.id", "cp.x", "cp.y")
+            .select("ksx", "ksy", "klo", "khi", "ksalt", "cp.id", "cp.x", "cp.y")
         )
 
         state = (
             frontier.groupBy(*group_keys)
-            .cogroup(cand.groupBy("ksx", "ksy", "klo", "khi"))
+            .cogroup(cand.groupBy("ksx", "ksy", "klo", "khi", "ksalt"))
             .applyInPandas(round_udf, schema=_STATE_SCHEMA)
             .localCheckpoint(eager=True)
         )

@@ -71,3 +71,75 @@ def write_pages(pages: DataFrame, path: str, partitions: int = 8) -> None:
 
 def read_pages(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# op folding at the TABLE layer: Iceberg MERGE INTO when a catalog is
+# configured (the north_star path), parquet union/anti-join fallback
+# otherwise (this sandbox has no Iceberg jars — semantics identical).
+
+MERGE_POINTS_SQL = """
+MERGE INTO {table} t
+USING {updates} u
+ON t.id = u.id
+WHEN MATCHED AND u.op = 'delete' THEN DELETE
+WHEN MATCHED AND u.op = 'insert' THEN UPDATE SET t.x = u.x, t.y = u.y
+WHEN NOT MATCHED AND u.op = 'insert' THEN INSERT (id, x, y) VALUES (u.id, u.x, u.y)
+"""
+
+
+def merge_points_table(
+    spark: SparkSession,
+    table: str,
+    inserts: DataFrame,
+    delete_ids: DataFrame,
+) -> None:
+    """Fold an op batch into an Iceberg points table via MERGE INTO.
+    Requires an Iceberg catalog on the session (iceberg_available)."""
+    if not iceberg_available(spark):
+        raise RuntimeError(
+            "MERGE INTO requires an Iceberg catalog; use fold_points_parquet"
+        )
+    updates = (
+        inserts.withColumn("op", F.lit("insert"))
+        .unionByName(
+            delete_ids.select(
+                "id", F.lit(None).cast("double").alias("x"),
+                F.lit(None).cast("double").alias("y"),
+            ).withColumn("op", F.lit("delete"))
+        )
+    )
+    updates.createOrReplaceTempView("_rindex_updates")
+    spark.sql(MERGE_POINTS_SQL.format(table=table, updates="_rindex_updates"))
+
+
+def fold_points_parquet(
+    spark: SparkSession,
+    path: str,
+    inserts: DataFrame,
+    delete_ids: DataFrame,
+) -> DataFrame:
+    """Parquet fallback with MERGE semantics: read -> anti-join deletes
+    AND updated ids -> union inserts -> atomic swap write."""
+    import os
+    import uuid
+
+    cur = spark.read.parquet(path) if os.path.exists(path) else None
+    upd_ids = inserts.select("id").unionByName(delete_ids.select("id")).distinct()
+    if cur is not None:
+        folded = cur.join(upd_ids, "id", "left_anti").unionByName(
+            inserts.select("id", "x", "y")
+        )
+    else:
+        folded = inserts.select("id", "x", "y")
+    tmp = f"{path}__tmp_{uuid.uuid4().hex[:8]}"
+    folded.write.mode("overwrite").parquet(tmp)
+    old = f"{path}__old_{uuid.uuid4().hex[:8]}"
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    if os.path.exists(old):
+        import shutil
+
+        shutil.rmtree(old, ignore_errors=True)
+    return spark.read.parquet(path)

@@ -1,0 +1,92 @@
+"""Structured Streaming: op-feed folding (foreachBatch + exactly-once
+epoch commits) and event-time windowed aggregation with watermark."""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+
+from rindex_spark.datagen import generate_ops, generate_pages
+from rindex_spark.streaming.ops_stream import (
+    stream_ops,
+    streaming_page_window_counts,
+)
+
+from tests.conftest import brute_knn
+from tests.test_dynamic_ops import live_set
+from tests.test_knn_oracle import check_graph_vs_oracle
+
+
+def write_ops_files(tmp_path, rows, n_files):
+    import os
+
+    d = tmp_path / "ops"
+    d.mkdir()
+    per = (len(rows) + n_files - 1) // n_files
+    base = 1_700_000_000
+    for i in range(n_files):
+        chunk = rows[i * per : (i + 1) * per]
+        p = d / f"ops_{i:03d}.json"
+        with open(p, "w") as f:
+            for seq, op, pid, x, y in chunk:
+                f.write(json.dumps({"seq": seq, "op": op, "id": pid, "x": x, "y": y}) + "\n")
+        # FileStreamSource orders epochs by modification time: a
+        # sequenced op feed must carry monotonic mtimes
+        os.utime(p, (base + i * 10, base + i * 10))
+    return str(d)
+
+
+def test_stream_ops_fold(spark, tmp_path):
+    k = 4
+    rows = generate_ops(90, seed=13)
+    ops_dir = write_ops_files(tmp_path, rows, 3)
+    q, holder = stream_ops(
+        spark,
+        ops_dir,
+        str(tmp_path / "stream_ck"),
+        str(tmp_path / "state"),
+        k,
+    )
+    q.awaitTermination(300)
+    assert holder["applied"] == 3
+    state = holder["state"]
+    pts = live_set(rows)
+    ids = np.array(sorted(pts))
+    coords = np.array([pts[i] for i in ids])
+    oracle = brute_knn(coords, ids, k)
+    check_graph_vs_oracle(
+        state.graph.withColumnRenamed("src", "src").collect(), oracle
+    )
+    # restart with the same dirs: epochs already committed are replayed
+    # as no-ops (exactly-once at the state level)
+    q2, holder2 = stream_ops(
+        spark,
+        ops_dir,
+        str(tmp_path / "stream_ck"),
+        str(tmp_path / "state"),
+        k,
+    )
+    q2.awaitTermination(120)
+    assert holder2["applied"] == 0  # nothing re-applied
+
+
+def test_streaming_window_counts(spark, tmp_path):
+    pages = generate_pages(spark, 400, seed=2)
+    src = str(tmp_path / "pages_src")
+    pages.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    agg = streaming_page_window_counts(stream, window="1 minute", watermark="2 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wincounts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("select sum(n_pages) as s from wincounts").collect()[0]["s"]
+    assert got == 400
+    langs = {r["lang"] for r in spark.sql("select distinct lang from wincounts").collect()}
+    assert langs == {"en", "de", "fr", "es"}

@@ -90,3 +90,23 @@ def test_host_skew_is_zipfish(spark):
     low = sum(by_host.get(h, 0) for h in range(10))
     high = sum(by_host.get(h, 0) for h in range(87, 97))
     assert low > 3 * max(high, 1)
+
+
+def test_fold_points_parquet_merge_semantics(spark, tmp_path):
+    from rindex_spark.sources.pages import fold_points_parquet
+
+    p = str(tmp_path / "pts")
+    ins1 = spark.createDataFrame(
+        [(1, 1.0, 1.0), (2, 2.0, 2.0), (3, 3.0, 3.0)], "id long, x double, y double"
+    )
+    none_del = spark.createDataFrame([], "id long")
+    cur = fold_points_parquet(spark, p, ins1, none_del)
+    assert cur.count() == 3
+    # upsert id 2 + delete id 3 + insert id 4
+    ins2 = spark.createDataFrame(
+        [(2, 20.0, 20.0), (4, 4.0, 4.0)], "id long, x double, y double"
+    )
+    del2 = spark.createDataFrame([(3,)], "id long")
+    cur = fold_points_parquet(spark, p, ins2, del2)
+    got = {r["id"]: (r["x"], r["y"]) for r in cur.collect()}
+    assert got == {1: (1.0, 1.0), 2: (20.0, 20.0), 4: (4.0, 4.0)}
