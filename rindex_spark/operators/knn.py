@@ -104,13 +104,32 @@ def _make_round_udf(k: int, chunk: int = 256, cand_chunk: int = 4096):
 
         nc = len(cand)
         if nc:
-            # pre-sort candidates by id ONCE: a stable argsort on
-            # distance then yields exact (dist, id) order with zero
-            # per-row tie handling
-            order = np.argsort(cand["id"].to_numpy(), kind="stable")
-            cx = cand["x"].to_numpy(dtype=np.float64)[order]
-            cy = cand["y"].to_numpy(dtype=np.float64)[order]
-            cid = cand["id"].to_numpy(dtype=np.int64)[order]
+            cx = cand["x"].to_numpy(dtype=np.float64)
+            cy = cand["y"].to_numpy(dtype=np.float64)
+            cid = cand["id"].to_numpy(dtype=np.int64)
+            # float32 SELECTION lane: halves the memory traffic of the
+            # distance matrices (the kernel is DRAM-bound at high core
+            # counts).  Coordinates are centered on the group first —
+            # raw f32 casts suffer catastrophic cancellation for nearby
+            # points at large coordinates; after centering the values
+            # are cell-scale and f32's relative precision applies.
+            # Selection uses SQUARED distance (monotone, no sqrt pass);
+            # exactness is restored by an epsilon-widened pool + exact
+            # f64 refine below.
+            gx0 = cx.mean()
+            gy0 = cy.mean()
+            cx32 = (cx - gx0).astype(np.float32)
+            cy32 = (cy - gy0).astype(np.float32)
+            qx32 = (qx - gx0).astype(np.float32)
+            qy32 = (qy - gy0).astype(np.float32)
+            span2 = float(
+                max(
+                    cx32.max() - cx32.min() if nc else 1.0,
+                    cy32.max() - cy32.min() if nc else 1.0,
+                    1e-30,
+                )
+            )
+            eps_abs = np.float32((span2 * 1e-6) ** 2 + 1e-30)
 
         out_cnt = np.empty(nq, dtype=np.int64)
         out_kth = np.empty(nq, dtype=np.float64)
@@ -122,51 +141,56 @@ def _make_round_udf(k: int, chunk: int = 256, cand_chunk: int = 4096):
             cur_d = prev_d[s:e]
             cur_i = prev_i[s:e]
             if nc:
-                # fresh queries (round 0 fast path) have no carried best
-                any_prev = any(len(v) for v in cur_d)
                 for cs_ in range(0, nc, cand_chunk):
                     ce = min(cs_ + cand_chunk, nc)
-                    # in-place ops: one temporary matrix, not five —
-                    # large-temporary churn across many concurrent
-                    # workers causes kernel page-fault contention that
-                    # ANTI-scales with core count
-                    d = qx[s:e, None] - cx[None, cs_:ce]
-                    np.multiply(d, d, out=d)
-                    dy = qy[s:e, None] - cy[None, cs_:ce]
-                    np.multiply(dy, dy, out=dy)
-                    d += dy
-                    del dy
-                    np.sqrt(d, out=d)
+                    ids_c = cid[cs_:ce]
+                    # squared distances in f32, in-place (one temporary
+                    # matrix, not five — large-temporary churn across
+                    # concurrent workers page-fault-contends the kernel)
+                    d32 = qx32[s:e, None] - cx32[None, cs_:ce]
+                    np.multiply(d32, d32, out=d32)
+                    dy32 = qy32[s:e, None] - cy32[None, cs_:ce]
+                    np.multiply(dy32, dy32, out=dy32)
+                    d32 += dy32
+                    del dy32
                     kk = min(k, ce - cs_)
-                    # stable argsort on distance over id-sorted columns
-                    # = exact (dist, id) order, fully vectorized (the
-                    # adaptive grid bounds nc, so c log c stays cheap)
-                    idx = np.argsort(d, axis=1, kind="stable")[:, :kk]
-                    dd_all = np.take_along_axis(d, idx, axis=1)
-                    ii_all = cid[cs_:ce][idx]
-                    del d
-                    if not any_prev and ce - cs_ == nc:
-                        # vectorized fast path: single candidate chunk,
-                        # nothing carried — assign without per-row merge
-                        for r in range(e - s):
-                            cur_d[r] = dd_all[r]
-                            cur_i[r] = ii_all[r]
-                    else:
-                        for r in range(e - s):
-                            if len(cur_d[r]):
-                                # merge with running best; the halo may
-                                # re-scan visited cells, so DEDUPE exact
-                                # (dist,id) duplicates (equal keys sort
-                                # adjacent)
-                                md = np.concatenate([cur_d[r], dd_all[r]])
-                                mi = np.concatenate([cur_i[r], ii_all[r]])
-                                mo = np.lexsort((mi, md))
-                                md, mi = md[mo], mi[mo]
-                                keep = np.ones(len(mi), dtype=bool)
-                                keep[1:] = (mi[1:] != mi[:-1]) | (md[1:] != md[:-1])
-                                cur_d[r], cur_i[r] = md[keep][:k], mi[keep][:k]
-                            else:
-                                cur_d[r], cur_i[r] = dd_all[r], ii_all[r]
+                    # O(c) pool selection on the f32 lane, then widen by
+                    # a relative+absolute epsilon so the pool provably
+                    # contains the true f64 top-k (incl. exact ties)
+                    part = np.argpartition(d32, kk - 1, axis=1)[:, :kk]
+                    pmax = np.take_along_axis(d32, part, axis=1).max(axis=1)
+                    thr = pmax * np.float32(1.0 + 1e-4) + eps_abs
+                    n_le = (d32 <= thr[:, None]).sum(axis=1)
+                    for r in range(e - s):
+                        if n_le[r] > kk:
+                            idxs = np.nonzero(d32[r] <= thr[r])[0]
+                        else:
+                            idxs = part[r]
+                        # exact f64 refine on the pool only — ORIGINAL
+                        # coordinates, canonical IEEE op order (matches
+                        # the reference and the SQL oracles bit-for-bit)
+                        gx = cx[cs_ + idxs]
+                        gy = cy[cs_ + idxs]
+                        ddx = qx[s + r] - gx
+                        ddy = qy[s + r] - gy
+                        dd = np.sqrt(ddx * ddx + ddy * ddy)
+                        ii = ids_c[idxs]
+                        o = np.lexsort((ii, dd))[:k]
+                        dd, ii = dd[o], ii[o]
+                        if len(cur_d[r]):
+                            # merge with running best; the halo may
+                            # re-scan visited cells, so DEDUPE exact
+                            # (dist,id) duplicates (equal keys sort
+                            # adjacent)
+                            md = np.concatenate([cur_d[r], dd])
+                            mi = np.concatenate([cur_i[r], ii])
+                            mo = np.lexsort((mi, md))
+                            md, mi = md[mo], mi[mo]
+                            keep = np.ones(len(mi), dtype=bool)
+                            keep[1:] = (mi[1:] != mi[:-1]) | (md[1:] != md[:-1])
+                            cur_d[r], cur_i[r] = md[keep][:k], mi[keep][:k]
+                        else:
+                            cur_d[r], cur_i[r] = dd, ii
             for r in range(e - s):
                 out_d[s + r] = cur_d[r].tobytes()
                 out_i[s + r] = cur_i[r].tobytes()
