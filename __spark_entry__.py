@@ -129,7 +129,7 @@ def q_rknn(spark, sf_dir):
     pts = _points(spark, sf_dir)
     g = build_knn_graph(pts, K)
     q = _queries_shifted(spark, sf_dir, 53)
-    return reverse_knn(pts, g, q, K, spec=None or _infer(spark, sf_dir))
+    return reverse_knn(pts, g, q, K, spec=_infer(spark, sf_dir))
 
 
 def _infer(spark, sf_dir):
@@ -228,8 +228,21 @@ def q_ann_lsh(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
+    """Exploded to (media_id, dim_idx, value) so the driver can
+    canonicalize (array columns are unhashable for its checker).  The
+    deterministic fake decoder is pure integer arithmetic (byte j of
+    media m is (j*((m%251)+1))%256; feature d is the mean of bytes
+    4d..4d+3) — exactly representable in float32, hence bit-exact
+    against the DuckDB oracle after the double cast."""
     media = generate_media(spark, 200)
-    return extract_features(media)
+    feats = extract_features(media)
+    return feats.select(
+        "media_id", F.posexplode("feature").alias("dim_idx", "value")
+    ).select(
+        "media_id",
+        F.col("dim_idx").cast("int").alias("dim_idx"),
+        F.col("value").cast("double").alias("value"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -384,6 +397,42 @@ FROM pairs p
 JOIN sizes sa ON sa.doc_id = p.doc_a
 JOIN sizes sb ON sb.doc_id = p.doc_b
 WHERE CAST(p.n_inter AS DOUBLE) / (sa.sz + sb.sz - p.n_inter) >= 0.2
+"""
+    sql["fingerprint"] = """
+SELECT doc_id,
+  CAST(list_reduce(
+    list_prepend(0::HUGEINT, list_transform(split(coalesce(text, ''), ''), c -> ord(c)::HUGEINT)),
+    (h, b) -> (h * 1000003 + b) % 9223372036854775808
+  ) AS BIGINT) AS fp
+FROM documents
+"""
+    from rindex_spark.functions.text import _LANG_STOPWORDS
+
+    _hits = ",\n  ".join(
+        f"len(list_intersect(toks, [{', '.join(repr(w) for w in sw)}])) AS n_{lang}"
+        for lang, sw in _LANG_STOPWORDS.items()
+    )
+    _g = "greatest(" + ", ".join(f"n_{lang}" for lang in _LANG_STOPWORDS) + ")"
+    _case = " ".join(f"WHEN n_{lang} = {_g} THEN '{lang}'" for lang in _LANG_STOPWORDS)
+    sql["lang_detect"] = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_distinct(string_split_regex(lower(coalesce(text, '')), '[^a-zà-ÿ]+')) AS toks
+  FROM documents
+),
+s AS (SELECT doc_id,
+  {_hits}
+  FROM t)
+SELECT doc_id,
+       CASE WHEN {_g} <= 0 THEN 'und' {_case} ELSE 'und' END AS lang_pred
+FROM s
+"""
+    sql["multimodal_features"] = """
+WITH m AS (SELECT unnest(generate_series(0, 199)) AS media_id),
+j AS (SELECT unnest(generate_series(0, 63)) AS pos),
+b AS (SELECT media_id, pos, (pos * ((media_id % 251) + 1)) % 256 AS byte FROM m, j)
+SELECT media_id, CAST(pos // 4 AS INT) AS dim_idx, CAST(avg(byte) AS DOUBLE) AS value
+FROM b GROUP BY media_id, pos // 4
 """
     sql["ann_cosine"] = """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -69,32 +69,52 @@ def extract_geotag(html: pd.Series) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# language ID: tiny stopword-profile heuristic (vectorized via count maps)
+# language ID: tiny stopword-profile heuristic — pure column expressions
+# (JVM-side, whole-stage codegen; no Python at all)
 
+# insertion order is the tie-break priority: first language with the
+# max stopword-hit count wins; all-zero -> "und"
 _LANG_STOPWORDS = {
-    "en": {"the", "and", "of", "to", "in", "is", "that", "with", "for", "was"},
-    "de": {"der", "die", "und", "das", "ist", "von", "mit", "ein", "nicht", "auf"},
-    "fr": {"le", "la", "et", "les", "des", "est", "dans", "pour", "que", "une"},
-    "es": {"el", "la", "que", "de", "los", "en", "una", "por", "con", "para"},
+    "en": ["the", "and", "of", "to", "in", "is", "that", "with", "for", "was"],
+    "de": ["der", "die", "und", "das", "ist", "von", "mit", "ein", "nicht", "auf"],
+    "fr": ["le", "la", "et", "les", "des", "est", "dans", "pour", "que", "une"],
+    "es": ["el", "la", "que", "de", "los", "en", "una", "por", "con", "para"],
 }
+
+_LANG_TOKEN_SPLIT = r"[^a-zà-ÿ]+"
+
+
+def lang_id(text) -> "F.Column":
+    """Column expression: detected language of ``text`` ('en'/'de'/'fr'/
+    'es'/'und').  Distinct lowercase tokens intersected with each
+    language's stopword profile; argmax with insertion-order tie-break.
+    Entirely built-in functions — no UDF, no shuffle."""
+    t = F.col(text) if isinstance(text, str) else text
+    toks = F.array_distinct(F.split(F.lower(F.coalesce(t, F.lit(""))), _LANG_TOKEN_SPLIT))
+    hits = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in sw])))
+        for lang, sw in _LANG_STOPWORDS.items()
+    }
+    best = F.greatest(*hits.values())
+    expr = F.when(best <= 0, F.lit("und"))
+    for lang in _LANG_STOPWORDS:
+        expr = expr.when(hits[lang] == best, F.lit(lang))
+    return expr.otherwise(F.lit("und"))
 
 
 def lang_id_series(text: pd.Series) -> pd.Series:
+    """Pandas twin of ``lang_id`` (test oracle / offline use)."""
+
     def _one(t: str) -> str:
         toks = set(re.findall(r"[a-zà-ÿ]+", (t or "").lower()))
         best, best_n = "und", 0
         for lang, sw in _LANG_STOPWORDS.items():
-            n = len(toks & sw)
+            n = len(toks & set(sw))
             if n > best_n:
                 best, best_n = lang, n
         return best
 
     return text.map(_one)
-
-
-@pandas_udf(StringType())
-def lang_id(text: pd.Series) -> pd.Series:
-    return lang_id_series(text)
 
 
 # ---------------------------------------------------------------------------
@@ -135,22 +155,40 @@ def with_text_stats(df, text_col: str = "text"):
 
 
 # ---------------------------------------------------------------------------
-# document fingerprint: polynomial rolling hash of the whole text —
-# deterministic 63-bit, vectorized in numpy
+# document fingerprint: polynomial rolling hash over the text's Unicode
+# CODE POINTS — deterministic 63-bit, fully vectorized (no per-char or
+# per-row Python loops): h = sum_j cp_j * BASE^(n-1-j) mod 2^63.
+# All arithmetic runs in wrapping uint64 (mod 2^64); the final 63-bit
+# mask is exact because 2^63 divides 2^64.
 
 _FP_BASE = np.uint64(1000003)
 _FP_MASK = np.uint64((1 << 63) - 1)
 
 
 def fingerprint_series(text: pd.Series) -> pd.Series:
-    def _one(t: str) -> int:
-        h = np.uint64(0)
-        for b in (t or "").encode("utf-8"):
-            h = (h * _FP_BASE + np.uint64(b)) & _FP_MASK
-        return int(h)
-
-    with np.errstate(over="ignore"):
-        return text.map(_one)
+    texts = ["" if t is None else str(t) for t in text]
+    lens = np.array([len(t) for t in texts], dtype=np.int64)
+    out = np.zeros(len(texts), dtype=np.uint64)
+    nz = np.nonzero(lens)[0]
+    if len(nz):
+        # one blob for the whole Arrow batch: utf-32-le gives the code
+        # points directly as a uint32 vector
+        cps = np.frombuffer("".join(texts).encode("utf-32-le"), dtype="<u4").astype(
+            np.uint64
+        )
+        nzlens = lens[nz]
+        maxlen = int(nzlens.max())
+        pows = np.ones(maxlen, dtype=np.uint64)
+        if maxlen > 1:
+            pows[1:] = np.multiply.accumulate(
+                np.full(maxlen - 1, _FP_BASE, dtype=np.uint64)
+            )
+        starts = np.zeros(len(nz), dtype=np.int64)
+        starts[1:] = np.cumsum(nzlens)[:-1]
+        pos = np.arange(len(cps), dtype=np.int64) - np.repeat(starts, nzlens)
+        exp = np.repeat(nzlens, nzlens) - 1 - pos
+        out[nz] = np.add.reduceat(cps * pows[exp], starts) & _FP_MASK
+    return pd.Series(out.astype(np.int64))
 
 
 @pandas_udf(LongType())

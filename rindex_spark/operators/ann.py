@@ -43,13 +43,115 @@ def cosine_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     include_self: bool = False,
+    max_broadcast_queries: int = 200_000,
+    query_chunk: int = 4096,
 ) -> DataFrame:
     """Exact top-k cosine neighbors of each query against the corpus.
 
-    queries: (qid, embedding).  Broadcast-joins the QUERY side (queries
-    are the small side in retrieval workloads); the corpus streams.
+    queries: (qid, embedding) — the SMALL side of a retrieval workload.
+    The query matrix is broadcast (sc.broadcast, one copy per executor)
+    and the corpus streams through ONE mapInPandas pass that scores
+    whole Arrow batches with a numpy matmul (BLAS) and keeps a running
+    per-query top-k per partition; a final window over the tiny
+    (n_partitions x n_queries x k) partials yields the global top-k.
+    No shuffle of anything corpus-sized, no per-element scoring.
+
+    Falls back to the crossJoin plan when the query side exceeds
+    ``max_broadcast_queries`` (driver-collect guard).
+
     returns (qid, neighbor_id, score, rank), rank by (score desc, id).
     """
+    q0 = queries.select("qid", F.col(vec_col).alias("_qv"))
+    n_q = q0.count()
+    if n_q == 0:
+        return corpus.sparkSession.createDataFrame(
+            [], "qid long, neighbor_id long, score double, rank int"
+        )
+    if n_q > max_broadcast_queries:
+        return _cosine_topk_crossjoin(corpus, queries, k, vec_col, id_col, include_self)
+
+    qrows = q0.collect()
+    qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
+    qm = np.array([np.asarray(r["_qv"], dtype=np.float64) for r in qrows])
+    qnorm = np.sqrt((qm * qm).sum(axis=1))
+    qok = qnorm > 0
+    qmn = np.where(qok[:, None], qm / np.where(qok, qnorm, 1.0)[:, None], 0.0)
+    bc = corpus.sparkSession.sparkContext.broadcast((qids, qmn, qok))
+
+    def scan(batches):
+        b_qids, b_qmn, b_qok = bc.value
+        nq = len(b_qids)
+        # running per-query top-k over the whole partition, kept as
+        # (score desc, id asc)-sorted arrays
+        best_s = [None] * nq
+        best_i = [None] * nq
+        for b in batches:
+            ids = b["neighbor_id"].to_numpy(dtype=np.int64)
+            cm = np.array([np.asarray(v, dtype=np.float64) for v in b["_cv"]])
+            if cm.ndim != 2 or not len(ids):
+                continue
+            cnorm = np.sqrt((cm * cm).sum(axis=1))
+            cok = cnorm > 0
+            cmn = np.where(cok[:, None], cm / np.where(cok, cnorm, 1.0)[:, None], 0.0)
+            for qs in range(0, nq, query_chunk):
+                qe = min(qs + query_chunk, nq)
+                s = cmn @ b_qmn[qs:qe].T  # (n_corpus_batch, n_query_chunk)
+                # zero-norm on either side scores -1.0 (matches the SQL
+                # oracle's guarded expression)
+                s[~cok, :] = -1.0
+                s[:, ~b_qok[qs:qe]] = -1.0
+                if not include_self:
+                    s[ids[:, None] == b_qids[None, qs:qe]] = -np.inf
+                kk = min(k, s.shape[0])
+                top = np.argpartition(-s, kk - 1, axis=0)[:kk]
+                for j in range(qe - qs):
+                    cand_i = ids[top[:, j]]
+                    cand_s = s[top[:, j], j]
+                    keep = cand_s > -np.inf
+                    cand_i, cand_s = cand_i[keep], cand_s[keep]
+                    qj = qs + j
+                    if best_s[qj] is not None:
+                        cand_s = np.concatenate([best_s[qj], cand_s])
+                        cand_i = np.concatenate([best_i[qj], cand_i])
+                    o = np.lexsort((cand_i, -cand_s))[:k]
+                    best_s[qj], best_i[qj] = cand_s[o], cand_i[o]
+        out_q, out_i, out_s = [], [], []
+        for j in range(nq):
+            if best_s[j] is None or not len(best_s[j]):
+                continue
+            out_q.append(np.full(len(best_s[j]), b_qids[j], dtype=np.int64))
+            out_i.append(best_i[j])
+            out_s.append(best_s[j])
+        if out_q:
+            yield pd.DataFrame(
+                {
+                    "qid": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_i),
+                    "score": np.concatenate(out_s),
+                }
+            )
+
+    partials = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    ).mapInPandas(scan, schema="qid long, neighbor_id long, score double")
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
+    return (
+        partials.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "neighbor_id", "score", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def _cosine_topk_crossjoin(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    vec_col: str,
+    id_col: str,
+    include_self: bool,
+) -> DataFrame:
+    """Fallback exact plan for query sides too large to broadcast as a
+    matrix: crossJoin(broadcast) with the JVM-side dot product."""
     c = with_norm(corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")), "_cv")
     q = with_norm(queries.select(F.col("qid"), F.col(vec_col).alias("_qv")), "_qv").withColumnRenamed(
         "_norm", "_qnorm"

@@ -82,7 +82,7 @@ def _make_round_udf(k: int, chunk: int = 256, cand_chunk: int = 4096):
 
     empty = pd.DataFrame(
         columns=[
-            "qid", "qx", "qy", "qix", "qiy", "r_lo", "r_hi",
+            "qid", "qx", "qy", "qix", "qiy", "r_lo", "r_hi", "salt",
             "cnt", "kth", "best_dist", "best_id",
         ]
     )
@@ -122,14 +122,25 @@ def _make_round_udf(k: int, chunk: int = 256, cand_chunk: int = 4096):
             cy32 = (cy - gy0).astype(np.float32)
             qx32 = (qx - gx0).astype(np.float32)
             qy32 = (qy - gy0).astype(np.float32)
+            # centered coordinates can still be large when QUERIES sit
+            # far from the candidate block's centroid — the error bound
+            # below must cover the query coords too
             span2 = float(
                 max(
                     cx32.max() - cx32.min() if nc else 1.0,
                     cy32.max() - cy32.min() if nc else 1.0,
+                    float(np.abs(qx32).max()) if nq else 0.0,
+                    float(np.abs(qy32).max()) if nq else 0.0,
                     1e-30,
                 )
             )
-            eps_abs = np.float32((span2 * 1e-6) ** 2 + 1e-30)
+            # rigorous f32 squared-distance error bound (ADVICE r1):
+            # with |coords| <= S := span2, each centered f32 coordinate
+            # carries error <= 2*S*2^-24 (cast + subtract rounding), so
+            # |d32 - d_true| <= 3*sqrt(d)*e1 + 2*e1^2 + 3*d*2^-24 with
+            # e1 = 4*S*2^-24 (product/sum rounding folded into the
+            # relative term; constants rounded up).
+            _e1 = 4.0 * span2 * 2.0**-24
 
         out_cnt = np.empty(nq, dtype=np.int64)
         out_kth = np.empty(nq, dtype=np.float64)
@@ -158,8 +169,19 @@ def _make_round_udf(k: int, chunk: int = 256, cand_chunk: int = 4096):
                     # a relative+absolute epsilon so the pool provably
                     # contains the true f64 top-k (incl. exact ties)
                     part = np.argpartition(d32, kk - 1, axis=1)[:, :kk]
-                    pmax = np.take_along_axis(d32, part, axis=1).max(axis=1)
-                    thr = pmax * np.float32(1.0 + 1e-4) + eps_abs
+                    pmax = np.take_along_axis(d32, part, axis=1).max(axis=1).astype(
+                        np.float64
+                    )
+                    # widen by 4x the derived error bound at pmax: a true
+                    # top-k member's f32 value exceeds pmax by at most
+                    # 2*err(kth_true^2) and kth_true^2 <= pmax + err, so
+                    # 4x covers the iteration slack with margin
+                    err = (
+                        3.0 * np.sqrt(np.maximum(pmax, 0.0)) * _e1
+                        + 2.0 * _e1 * _e1
+                        + 3.0 * pmax * 2.0**-24
+                    )
+                    thr = pmax + 4.0 * err + 1e-300
                     n_le = (d32 <= thr[:, None]).sum(axis=1)
                     for r in range(e - s):
                         if n_le[r] > kk:
@@ -577,7 +599,10 @@ def knn_for_queries(
         # small-frontier fallback: stragglers in sparse regions have
         # certify radii that sweep dense areas — ring candidates explode
         # there while a broadcast full scan costs a few flops per point.
-        if n_left * ext["n"] <= 4e9 or n_left <= 512:
+        # The absolute row cap bounds the driver collect + closure size
+        # even when the point set is tiny (flop gate alone would admit
+        # multi-million-row collects).
+        if (n_left * ext["n"] <= 4e9 and n_left <= 200_000) or n_left <= 512:
             rows = next_frontier.select("qid", "qx", "qy").collect()
             finished_parts.append(_small_frontier_knn(points, rows, k))
             if debug:
