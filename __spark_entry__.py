@@ -27,7 +27,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from rindex_spark.config import EngineConfig, GridSpec  # noqa: E402
 from rindex_spark.functions.text import fingerprint, lang_id, with_text_stats  # noqa: E402
 from rindex_spark.grid import with_cells  # noqa: E402
-from rindex_spark.operators.ann import cosine_topk, lsh_cosine_topk  # noqa: E402
+from rindex_spark.operators.ann import (  # noqa: E402
+    cosine_topk,
+    embedding_near_dup,
+    lsh_cosine_topk,
+)
 from rindex_spark.operators.dedup import (  # noqa: E402
     dedup_exact,
     minhash_lsh_pairs,
@@ -227,6 +231,18 @@ def q_ann_lsh(spark, sf_dir):
     return lsh_cosine_topk(emb, q, k=5).select("qid", "neighbor_id", "rank")
 
 
+def q_embedding_near_dup(spark, sf_dir):
+    """Corpus = embeddings ∪ an id-shifted twin of itself: every vector
+    gains exactly one planted duplicate at cosine 1.0 (identical
+    vectors produce identical LSH signatures in every table, so the
+    bucket join finds them with probability 1 — the output is exactly
+    the >= threshold pair set, checkable by an all-pairs SQL oracle;
+    max natural pair cosine in the testdata is ~0.6)."""
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    twin = emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    return embedding_near_dup(emb.unionByName(twin), threshold=0.99)
+
+
 def q_multimodal_features(spark, sf_dir):
     """Exploded to (media_id, dim_idx, value) so the driver can
     canonicalize (array columns are unhashable for its checker).  The
@@ -264,6 +280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "ann_lsh": q_ann_lsh,
+        "embedding_near_dup": q_embedding_near_dup,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -397,6 +414,19 @@ FROM pairs p
 JOIN sizes sa ON sa.doc_id = p.doc_a
 JOIN sizes sb ON sb.doc_id = p.doc_b
 WHERE CAST(p.n_inter AS DOUBLE) / (sa.sz + sb.sz - p.n_inter) >= 0.2
+"""
+    sql["embedding_near_dup"] = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (SELECT vec_id, v FROM e UNION ALL SELECT vec_id + 100000 AS vec_id, v FROM e),
+s AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         CASE WHEN sqrt(list_dot_product(a.v, a.v)) > 0 AND sqrt(list_dot_product(b.v, b.v)) > 0
+              THEN list_dot_product(a.v, b.v) /
+                   (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+              ELSE -1.0 END AS score
+  FROM c a, c b WHERE a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, score FROM s WHERE score >= 0.99
 """
     sql["fingerprint"] = """
 SELECT doc_id,

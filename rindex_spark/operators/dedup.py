@@ -28,9 +28,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, LongType
 
-_MERSENNE = (1 << 61) - 1
-
-
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact duplicate groups: (text_hash, n_docs, keep_id) — keep the
     smallest id per identical text; map-side combinable aggregate."""
@@ -78,22 +75,32 @@ def ngram_jaccard_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_df: int | None = None,
+    max_df: int | None = 10_000,
 ) -> DataFrame:
-    """EXACT n-gram Jaccard similarity join: all pairs (a, b), a < b,
-    with |shingles(a) ∩ shingles(b)| / |union| >= threshold.
+    """n-gram Jaccard similarity join: all pairs (a, b), a < b, with
+    |shingles(a) ∩ shingles(b)| / |union| >= threshold.
 
     Inverted-index decomposition: explode distinct shingles, self-join
-    on shingle -> pair intersection counts; sizes from a side table;
-    jaccard = inter / (|A| + |B| - inter).  max_df drops ubiquitous
-    shingles from the index — they can't create NEW pairs for any
-    realistic threshold but quadratically inflate the join (boilerplate
-    skew guard).  Leave None for the exact semantics.
+    on shingle for candidate pairs; Jaccard scores are ALWAYS exact.
+
+    ``max_df`` (the boilerplate skew guard — ON by default) drops
+    shingles appearing in more than max_df docs from the candidate
+    index: a single hot shingle contributes df² candidate pairs, so at
+    web scale one boilerplate sentence is a cartesian bomb.  With the
+    guard on, candidate pairs are verified with an exact
+    array_intersect over the FULL shingle sets, so reported scores stay
+    exact; the only approximation is RECALL, and only for pairs whose
+    EVERY shared shingle exceeds max_df — vanishingly rare for real
+    near-duplicates below web-boilerplate frequency.  Pass
+    ``max_df=None`` for unconditionally exact semantics (the
+    intersection counts then come straight off the index join — no
+    second pass over the shingle arrays).
     """
-    sh = with_shingles(
-        df.select(F.col(id_col).alias("doc"), F.col(text_col)), text_col, n
-    ).select("doc", "shingles").withColumn("sh_size", F.size("shingles"))
-    sizes = sh.select("doc", "sh_size")
+    sh = (
+        with_shingles(df.select(F.col(id_col).alias("doc"), F.col(text_col)), text_col, n)
+        .select("doc", "shingles")
+        .withColumn("sh_size", F.size("shingles"))
+    )
     inv = sh.select("doc", F.explode("shingles").alias("shingle"))
     if max_df is not None:
         hot = (
@@ -103,6 +110,39 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         inv = inv.join(F.broadcast(hot), "shingle", "left_anti")
+        a = inv.alias("a")
+        b = inv.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.doc") < F.col("b.doc")),
+            )
+            .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+            .distinct()
+        )
+        arrs = sh.select("doc", "shingles")
+        return (
+            cand.join(
+                arrs.withColumnRenamed("doc", "doc_a").withColumnRenamed("shingles", "sh_a"),
+                "doc_a",
+            )
+            .join(
+                arrs.withColumnRenamed("doc", "doc_b").withColumnRenamed("shingles", "sh_b"),
+                "doc_b",
+            )
+            .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+            .withColumn("n_union", F.size(F.array_union("sh_a", "sh_b")))
+            .withColumn(
+                "jaccard",
+                F.when(F.col("n_union") > 0, F.col("n_inter") / F.col("n_union")).otherwise(
+                    F.lit(0.0)
+                ),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard")
+        )
+    sizes = sh.select("doc", "sh_size")
     a = inv.alias("a")
     b = inv.alias("b")
     inter = (
@@ -122,27 +162,22 @@ def ngram_jaccard_pairs(
     )
 
 
-def _hash_shingles(texts: pd.Series, n: int) -> list[np.ndarray]:
-    out = []
-    for t in texts:
-        words = (t or "").split()
-        if len(words) < n:
-            out.append(np.array([], dtype=np.uint64))
-            continue
-        grams = {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
-        hs = np.fromiter(
-            (hash_str64(g) for g in grams), dtype=np.uint64, count=len(grams)
-        )
-        out.append(hs)
-    return out
+def hashed_shingles(
+    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc, h array<long>) — xxhash64 of each distinct word n-gram,
+    computed ENTIRELY JVM-side (with_shingles + transform(xxhash64)):
+    no Python touches a shingle string."""
+    sh = with_shingles(df.select(F.col(id_col).alias("doc"), F.col(text_col)), text_col, n)
+    return sh.select(
+        "doc", F.transform(F.col("shingles"), lambda s: F.xxhash64(s)).alias("h")
+    )
 
 
-def hash_str64(s: str) -> int:
-    """Deterministic FNV-1a 64-bit (process-independent, unlike hash())."""
-    h = 0xCBF29CE484222325
-    for b in s.encode("utf-8"):
-        h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h
+# 31-bit Mersenne prime: a*h + b with a,h,b < 2^31 stays under 2^62, so
+# the uint64 products NEVER wrap and (a*h+b) % p is a true universal
+# hash (the r1 advisor flagged the old 2^61-1 variant for wrapping).
+_MINHASH_P = np.uint64((1 << 31) - 1)
 
 
 def minhash_signatures(
@@ -153,24 +188,50 @@ def minhash_signatures(
     id_col: str = "doc_id",
     seed: int = 1,
 ) -> DataFrame:
-    """(doc, sig array<long>) — vectorized MinHash over word n-grams."""
+    """(doc, sig array<long>) — MinHash over word n-grams.
+
+    Shingle hashing runs JVM-side (hashed_shingles); the pandas UDF
+    only does batch-level numpy: one (total_shingles x num_hashes)
+    modular-hash matrix per chunk, per-doc minima via minimum.reduceat.
+    No per-row or per-shingle Python anywhere."""
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE, size=num_hashes, dtype=np.int64).astype(np.uint64)
-    b = rng.integers(0, _MERSENNE, size=num_hashes, dtype=np.int64).astype(np.uint64)
+    p = _MINHASH_P
+    a = rng.integers(1, int(p), size=num_hashes, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, int(p), size=num_hashes, dtype=np.int64).astype(np.uint64)
+    sentinel = np.iinfo(np.int64).max
+    chunk_shingles = 1 << 18  # ~128 MB of uint64 matrix per chunk at 64 hashes
 
     @pandas_udf(ArrayType(LongType()))
-    def sig(texts: pd.Series) -> pd.Series:
-        res = []
-        for hs in _hash_shingles(texts, n):
-            if len(hs) == 0:
-                res.append(np.full(num_hashes, np.iinfo(np.int64).max, dtype=np.int64))
-                continue
-            # (a*h + b) mod p, universal hashing; min over shingles
-            vals = (a[None, :] * (hs[:, None] % _MERSENNE) + b[None, :]) % _MERSENNE
-            res.append(vals.min(axis=0).astype(np.int64))
-        return pd.Series([list(map(int, r)) for r in res])
+    def sig(harrs: pd.Series) -> pd.Series:
+        nd = len(harrs)
+        out = np.full((nd, num_hashes), sentinel, dtype=np.int64)
+        lens = np.array(
+            [0 if h is None else len(h) for h in harrs], dtype=np.int64
+        )
+        nz = np.nonzero(lens)[0]
+        if len(nz):
+            all_h = np.concatenate(
+                [np.asarray(harrs.iloc[i], dtype=np.int64) for i in nz]
+            ).astype(np.uint64) % p
+            starts = np.zeros(len(nz), dtype=np.int64)
+            starts[1:] = np.cumsum(lens[nz])[:-1]
+            ends = starts + lens[nz]
+            # chunk on doc boundaries so reduceat segments never split
+            cs = 0
+            while cs < len(nz):
+                ce = cs
+                while ce < len(nz) and ends[ce] - starts[cs] <= chunk_shingles:
+                    ce += 1
+                ce = max(ce, cs + 1)
+                block = all_h[starts[cs] : ends[ce - 1]]
+                vals = (a[None, :] * block[:, None] + b[None, :]) % p
+                mins = np.minimum.reduceat(vals, starts[cs:ce] - starts[cs], axis=0)
+                out[nz[cs:ce]] = mins.astype(np.int64)
+                cs = ce
+        return pd.Series(list(out))
 
-    return df.select(F.col(id_col).alias("doc"), sig(F.col(text_col)).alias("sig"))
+    hs = hashed_shingles(df, n, text_col, id_col)
+    return hs.select("doc", sig(F.col("h")).alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -249,23 +310,55 @@ def minhash_lsh_pairs(
 def simhash64(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """(doc, simhash long) — 64-bit SimHash over unigram token hashes."""
+    """(doc, simhash long) — 64-bit SimHash over unigram token hashes
+    (every occurrence counts, not distinct tokens).
+
+    Token hashing runs JVM-side (split + filter + transform(xxhash64));
+    the pandas UDF computes per-doc majority bits for the whole Arrow
+    batch at once: one (total_tokens x 64) bit matrix per chunk,
+    per-doc bit counts via add.reduceat."""
+    toks = F.filter(
+        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda w: w != "",
+    )
+    hashed = df.select(
+        F.col(id_col).alias("doc"),
+        F.transform(toks, lambda w: F.xxhash64(w)).alias("h"),
+    )
+    shifts = np.arange(64, dtype=np.uint64)
+    chunk_tokens = 1 << 19  # ~128 MB of int32 bit matrix per chunk
 
     @pandas_udf(LongType())
-    def sh(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            words = (t or "").split()
-            if not words:
-                out.append(0)
-                continue
-            hs = np.fromiter((hash_str64(w) for w in words), dtype=np.uint64, count=len(words))
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
-            v = np.where(bits.sum(axis=0) * 2 >= len(hs), 1, 0).astype(np.uint64)
-            out.append(int((v << np.arange(64, dtype=np.uint64)).sum().astype(np.int64)))
+    def sh(harrs: pd.Series) -> pd.Series:
+        nd = len(harrs)
+        out = np.zeros(nd, dtype=np.int64)
+        lens = np.array([0 if h is None else len(h) for h in harrs], dtype=np.int64)
+        nz = np.nonzero(lens)[0]
+        if len(nz):
+            all_h = np.concatenate(
+                [np.asarray(harrs.iloc[i], dtype=np.int64) for i in nz]
+            ).astype(np.uint64)
+            starts = np.zeros(len(nz), dtype=np.int64)
+            starts[1:] = np.cumsum(lens[nz])[:-1]
+            ends = starts + lens[nz]
+            cs = 0
+            while cs < len(nz):
+                ce = cs
+                while ce < len(nz) and ends[ce] - starts[cs] <= chunk_tokens:
+                    ce += 1
+                ce = max(ce, cs + 1)
+                block = all_h[starts[cs] : ends[ce - 1]]
+                bits = ((block[:, None] >> shifts[None, :]) & np.uint64(1)).astype(
+                    np.int32
+                )
+                sums = np.add.reduceat(bits, starts[cs:ce] - starts[cs], axis=0)
+                nloc = lens[nz[cs:ce]]
+                v = (2 * sums.astype(np.int64) >= nloc[:, None]).astype(np.uint64)
+                out[nz[cs:ce]] = (v << shifts[None, :]).sum(axis=1).astype(np.int64)
+                cs = ce
         return pd.Series(out, dtype="int64")
 
-    return df.select(F.col(id_col).alias("doc"), sh(F.col(text_col)).alias("simhash"))
+    return hashed.select("doc", sh(F.col("h")).alias("simhash"))
 
 
 def simhash_pairs(
