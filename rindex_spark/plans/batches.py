@@ -258,21 +258,44 @@ def apply_ops_batches(
 
     from rindex_spark.plans.checkpoint import BatchCheckpointer, ops_fingerprint
 
-    rows = ops.orderBy("seq").collect()  # op streams are driver-scale metadata
-    bs = batch_size or len(rows) or 1
-    chunks = [fold_chunk(rows[i : i + bs]) for i in range(0, len(rows), bs)]
-    fps = [ops_fingerprint(ins, dels) for ins, dels in chunks]
+    # distributed batch slicing (r1 verdict item 7): the stream is NEVER
+    # collected whole — batch ids come from a window over seq and only
+    # ONE batch's rows ever sit on the driver at a time.
+    n_ops = ops.count()
+    if n_ops == 0:
+        return empty_state(spark, k)
+    bs = batch_size or n_ops
+    w = Window.orderBy("seq")
+    sliced = (
+        ops.withColumn("_batch", ((F.row_number().over(w) - 1) / F.lit(bs)).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    n_batches = (n_ops + bs - 1) // bs
 
     ckpt = BatchCheckpointer(checkpoint_dir or tempfile.mkdtemp(prefix="rindex_ops_"))
-    start = ckpt.find_resume_point(fps)
-    if start > 0:
-        pts, g = ckpt.load(spark, start - 1)
-        state = IndexState(points=pts, graph=g, k=k)
-    else:
-        state = empty_state(spark, k)
-
-    for b in range(start, len(chunks)):
-        ins_rows, del_rows = chunks[b]
+    state: IndexState | None = None
+    last_committed = -1
+    resuming = True
+    for b in range(n_batches):
+        rows = (
+            sliced.filter(F.col("_batch") == b)
+            .orderBy("seq")
+            .select("seq", "op", "id", "x", "y")
+            .collect()
+        )
+        ins_rows, del_rows = fold_chunk(rows)
+        fp = ops_fingerprint(ins_rows, del_rows)
+        if resuming:
+            m = ckpt.read_manifest(b)
+            if m is not None and m.get("status") == "ok" and m.get("ops_fingerprint") == fp:
+                last_committed = b
+                continue  # committed with identical lineage: skip
+            resuming = False
+            if last_committed >= 0:
+                pts, g = ckpt.load(spark, last_committed)
+                state = IndexState(points=pts, graph=g, k=k)
+            else:
+                state = empty_state(spark, k)
         t0 = _time.monotonic()
         state = apply_batch(
             state,
@@ -288,9 +311,12 @@ def apply_ops_batches(
             b,
             state.points,
             state.graph,
-            fps[b],
+            fp,
             timings={"apply": round(_time.monotonic() - t0, 3)},
             extra={"n_inserts": len(ins_rows), "n_deletes": len(del_rows)},
         )
+        state = IndexState(points=pts, graph=g, k=k)
+    if state is None:  # every batch was already committed
+        pts, g = ckpt.load(spark, last_committed)
         state = IndexState(points=pts, graph=g, k=k)
     return state

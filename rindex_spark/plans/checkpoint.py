@@ -111,6 +111,28 @@ class BatchCheckpointer:
             spark.read.parquet(os.path.join(p, "graph")),
         )
 
+    def latest_ok_epoch(self) -> int | None:
+        """Highest batch/epoch id with a committed (status ok) manifest,
+        or None.  Used by restarts to reload the last durable state —
+        Spark never re-delivers cleanly-committed streaming epochs, so
+        a restarted stream must NOT start from empty_state."""
+        best = None
+        try:
+            names = os.listdir(self.base_dir)
+        except FileNotFoundError:
+            return None
+        for name in names:
+            if not name.startswith("batch="):
+                continue
+            try:
+                bid = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            m = self.read_manifest(bid)
+            if m is not None and m.get("status") == "ok":
+                best = bid if best is None else max(best, bid)
+        return best
+
     def find_resume_point(self, fingerprints: list[str]) -> int:
         """Longest prefix of batches already committed with matching
         lineage; returns the first batch id that must (re)run."""

@@ -54,7 +54,17 @@ def stream_ops(
     pending files by MODIFICATION TIME, so producers must write files
     with monotonic mtimes (normal for append-style feeds)."""
     ckpt = BatchCheckpointer(state_dir)
-    holder: dict = {"state": empty_state(spark, k), "applied": 0}
+    # restart recovery (r1 advisor, high): after a CLEAN shutdown Spark
+    # does not re-deliver committed epochs, so starting from empty_state
+    # would silently fold new op files into an empty index.  Resume from
+    # the latest committed manifest instead (mirrors find_resume_point
+    # in the batch path).
+    last = ckpt.latest_ok_epoch()
+    if last is not None:
+        pts0, g0 = ckpt.load(spark, last)
+        holder: dict = {"state": IndexState(points=pts0, graph=g0, k=k), "applied": 0}
+    else:
+        holder = {"state": empty_state(spark, k), "applied": 0}
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         rows = batch_df.orderBy("seq").collect()

@@ -69,6 +69,49 @@ def test_stream_ops_fold(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert holder2["applied"] == 0  # nothing re-applied
+    # ... and the restarted holder must carry the COMMITTED state, not
+    # an empty one (r1 advisor, high severity)
+    assert holder2["state"].points.count() == len(pts)
+
+
+def test_stream_ops_restart_with_new_files(spark, tmp_path):
+    """Clean shutdown, then NEW op files arrive, then restart: the new
+    batches must fold into the committed state (not an empty index) —
+    Spark never re-delivers cleanly-committed epochs."""
+    import os
+
+    k = 4
+    rows = generate_ops(120, seed=21)
+    first, rest = rows[:80], rows[80:]
+    ops_dir = write_ops_files(tmp_path, first, 2)
+    ck = str(tmp_path / "stream_ck")
+    st = str(tmp_path / "state")
+
+    q, holder = stream_ops(spark, ops_dir, ck, st, k)
+    q.awaitTermination(300)
+    assert holder["applied"] == 2
+
+    # new files arrive after the clean shutdown (monotonic mtimes)
+    base = 1_700_000_000 + 100 * 10
+    per = (len(rest) + 1) // 2
+    for i in range(2):
+        chunk = rest[i * per : (i + 1) * per]
+        p = os.path.join(ops_dir, f"ops_late_{i:03d}.json")
+        with open(p, "w") as f:
+            for seq, op, pid, x, y in chunk:
+                f.write(json.dumps({"seq": seq, "op": op, "id": pid, "x": x, "y": y}) + "\n")
+        os.utime(p, (base + i * 10, base + i * 10))
+
+    q2, holder2 = stream_ops(spark, ops_dir, ck, st, k)
+    q2.awaitTermination(300)
+    assert holder2["applied"] == 2  # only the new files
+
+    # final state == fresh brute oracle over the FULL op stream
+    pts = live_set(rows)
+    ids = np.array(sorted(pts))
+    coords = np.array([pts[i] for i in ids])
+    oracle = brute_knn(coords, ids, k)
+    check_graph_vs_oracle(holder2["state"].graph.collect(), oracle)
 
 
 def test_streaming_window_counts(spark, tmp_path):
