@@ -107,6 +107,16 @@ def q_knn_graph(spark, sf_dir):
     return build_knn_graph(_points(spark, sf_dir), K)
 
 
+def q_knn_3d(spark, sf_dir):
+    """D=3 kNN graph (reference const-generic [f64; D]): grid on (x, y),
+    exact full-D distance refine; z derived with the same
+    integer-modular trick so DuckDB doubles are bit-identical."""
+    pts = _points(spark, sf_dir).withColumn(
+        "z", ((F.col("id") * 15485863) % 20000) / 100.0 - 100.0
+    )
+    return build_knn_graph(pts, 5, extra_cols=("z",))
+
+
 def q_knn_dist(spark, sf_dir):
     g = build_knn_graph(_points(spark, sf_dir), K)
     return knn_dist(g, K)
@@ -264,6 +274,7 @@ def q_multimodal_features(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "knn_graph": q_knn_graph,
+        "knn_3d": q_knn_3d,
         "knn_dist": q_knn_dist,
         "range_join": q_range_join,
         "knn_query": q_knn_query,
@@ -308,6 +319,20 @@ r AS (
         knn_cte
         + f"SELECT src, dst, dist, CAST(rk AS INT) AS rank FROM r WHERE rk <= {K}"
     )
+    sql["knn_3d"] = f"""
+WITH pts AS (
+  SELECT id, x, y, ((id*15485863)%20000)/100.0 - 100.0 AS z
+  FROM ({_PTS_SQL})
+),
+d AS (
+  SELECT p.id AS src, q.id AS dst,
+         sqrt((p.x-q.x)*(p.x-q.x) + (p.y-q.y)*(p.y-q.y) + (p.z-q.z)*(p.z-q.z)) AS dist
+  FROM pts p, pts q
+),
+r AS (SELECT src, dst, dist,
+      row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rk FROM d)
+SELECT src, dst, dist, CAST(rk AS INT) AS rank FROM r WHERE rk <= 5
+"""
     sql["knn_dist"] = (
         knn_cte
         + f"SELECT src AS id, max(dist) AS knn_dist FROM r WHERE rk <= {K} GROUP BY src"

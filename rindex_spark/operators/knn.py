@@ -69,6 +69,15 @@ _STATE_SCHEMA = (
     "best_dist binary, best_id binary"
 )
 
+
+def _state_schema(n_extra: int) -> str:
+    """_STATE_SCHEMA extended with qe0..qe{n-1} double columns for the
+    query's extra (>2-D) coordinates."""
+    if n_extra == 0:
+        return _STATE_SCHEMA
+    extras = ", ".join(f"qe{i} double" for i in range(n_extra))
+    return _STATE_SCHEMA + ", " + extras
+
 # a single cogroup task must not exceed this many queries — hot
 # supercells (urban density / point masses) get salted into sub-groups
 # (the north_star's "salted repartitioning on hot cells"; candidates
@@ -76,14 +85,21 @@ _STATE_SCHEMA = (
 _MAX_GROUP_QUERIES = 32768
 
 
-def _make_round_udf(k: int, chunk: int = 256, cand_chunk: int = 4096):
+def _make_round_udf(k: int, chunk: int = 256, cand_chunk: int = 4096, n_extra: int = 0):
     """Cogrouped per-supercell kNN round: merge each query's carried
-    top-k (packed binary) with the candidates of its dilated block."""
+    top-k (packed binary) with the candidates of its dilated block.
+
+    n_extra > 0 (D > 2 points, reference const-generic [f64; D],
+    lib/src/rindex.rs:34): extra coordinates ride as qe{i}/e{i} double
+    columns; distances are exact full-D f64 (the f32 selection lane is
+    2-D-only), still in the canonical left-to-right IEEE op order
+    sqrt(((dx^2+dy^2)+dz^2)+...) that the SQL oracles use."""
 
     empty = pd.DataFrame(
         columns=[
             "qid", "qx", "qy", "qix", "qiy", "r_lo", "r_hi", "salt",
             "cnt", "kth", "best_dist", "best_id",
+            *[f"qe{i}" for i in range(n_extra)],
         ]
     )
 
@@ -93,6 +109,10 @@ def _make_round_udf(k: int, chunk: int = 256, cand_chunk: int = 4096):
             return empty
         qx = queries["qx"].to_numpy(dtype=np.float64)
         qy = queries["qy"].to_numpy(dtype=np.float64)
+        if n_extra:
+            QE = np.column_stack(
+                [queries[f"qe{i}"].to_numpy(dtype=np.float64) for i in range(n_extra)]
+            )
         prev_d = [
             np.frombuffer(b, dtype=np.float64) if b else np.empty(0)
             for b in queries["best_dist"]
@@ -116,6 +136,10 @@ def _make_round_udf(k: int, chunk: int = 256, cand_chunk: int = 4096):
             # Selection uses SQUARED distance (monotone, no sqrt pass);
             # exactness is restored by an epsilon-widened pool + exact
             # f64 refine below.
+            if n_extra:
+                CE = np.column_stack(
+                    [cand[f"e{i}"].to_numpy(dtype=np.float64) for i in range(n_extra)]
+                )
             gx0 = cx.mean()
             gy0 = cy.mean()
             cx32 = (cx - gx0).astype(np.float32)
@@ -147,11 +171,62 @@ def _make_round_udf(k: int, chunk: int = 256, cand_chunk: int = 4096):
         out_d: list[bytes] = [b""] * nq
         out_i: list[bytes] = [b""] * nq
 
+        def merge_into(cur_d, cur_i, r, dd, ii):
+            """Merge chunk top-k into the running best; the halo may
+            re-scan visited cells, so DEDUPE exact (dist,id) duplicates
+            (equal keys sort adjacent)."""
+            o = np.lexsort((ii, dd))[:k]
+            dd, ii = dd[o], ii[o]
+            if len(cur_d[r]):
+                md = np.concatenate([cur_d[r], dd])
+                mi = np.concatenate([cur_i[r], ii])
+                mo = np.lexsort((mi, md))
+                md, mi = md[mo], mi[mo]
+                keep = np.ones(len(mi), dtype=bool)
+                keep[1:] = (mi[1:] != mi[:-1]) | (md[1:] != md[:-1])
+                cur_d[r], cur_i[r] = md[keep][:k], mi[keep][:k]
+            else:
+                cur_d[r], cur_i[r] = dd, ii
+
         for s in range(0, nq, chunk):
             e = min(s + chunk, nq)
             cur_d = prev_d[s:e]
             cur_i = prev_i[s:e]
-            if nc:
+            if nc and n_extra:
+                # D > 2: exact full-D f64 squared distances (no f32
+                # lane); accumulation order ((dx^2+dy^2)+dz^2)+... is
+                # the canonical IEEE order of the oracles, so sqrt(d2)
+                # IS the exact refined distance
+                for cs_ in range(0, nc, cand_chunk):
+                    ce = min(cs_ + cand_chunk, nc)
+                    ids_c = cid[cs_:ce]
+                    d2 = qx[s:e, None] - cx[None, cs_:ce]
+                    np.multiply(d2, d2, out=d2)
+                    dy = qy[s:e, None] - cy[None, cs_:ce]
+                    np.multiply(dy, dy, out=dy)
+                    d2 += dy
+                    del dy
+                    for j in range(n_extra):
+                        dj = QE[s:e, j][:, None] - CE[cs_:ce, j][None, :]
+                        np.multiply(dj, dj, out=dj)
+                        d2 += dj
+                        del dj
+                    kk = min(k, ce - cs_)
+                    part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+                    pmax = np.take_along_axis(d2, part, axis=1).max(axis=1)
+                    # ties live in DIST (sqrt) space: two d2 values a few
+                    # ulp apart can round to the SAME sqrt, so the pool
+                    # must include d2 in [pmax, pmax + 4 ulp] or a true
+                    # (dist, id) tie with a smaller id gets dropped
+                    thr = pmax + 4.0 * np.spacing(np.abs(pmax))
+                    n_le = (d2 <= thr[:, None]).sum(axis=1)
+                    for r in range(e - s):
+                        if n_le[r] > kk:
+                            idxs = np.nonzero(d2[r] <= thr[r])[0]
+                        else:
+                            idxs = part[r]
+                        merge_into(cur_d, cur_i, r, np.sqrt(d2[r][idxs]), ids_c[idxs])
+            elif nc:
                 for cs_ in range(0, nc, cand_chunk):
                     ce = min(cs_ + cand_chunk, nc)
                     ids_c = cid[cs_:ce]
@@ -196,50 +271,37 @@ def _make_round_udf(k: int, chunk: int = 256, cand_chunk: int = 4096):
                         ddx = qx[s + r] - gx
                         ddy = qy[s + r] - gy
                         dd = np.sqrt(ddx * ddx + ddy * ddy)
-                        ii = ids_c[idxs]
-                        o = np.lexsort((ii, dd))[:k]
-                        dd, ii = dd[o], ii[o]
-                        if len(cur_d[r]):
-                            # merge with running best; the halo may
-                            # re-scan visited cells, so DEDUPE exact
-                            # (dist,id) duplicates (equal keys sort
-                            # adjacent)
-                            md = np.concatenate([cur_d[r], dd])
-                            mi = np.concatenate([cur_i[r], ii])
-                            mo = np.lexsort((mi, md))
-                            md, mi = md[mo], mi[mo]
-                            keep = np.ones(len(mi), dtype=bool)
-                            keep[1:] = (mi[1:] != mi[:-1]) | (md[1:] != md[:-1])
-                            cur_d[r], cur_i[r] = md[keep][:k], mi[keep][:k]
-                        else:
-                            cur_d[r], cur_i[r] = dd, ii
+                        merge_into(cur_d, cur_i, r, dd, ids_c[idxs])
             for r in range(e - s):
                 out_d[s + r] = cur_d[r].tobytes()
                 out_i[s + r] = cur_i[r].tobytes()
                 out_cnt[s + r] = len(cur_d[r])
                 out_kth[s + r] = cur_d[r][-1] if len(cur_d[r]) else np.inf
 
-        return pd.DataFrame(
-            {
-                "qid": queries["qid"].to_numpy(),
-                "qx": qx,
-                "qy": qy,
-                "qix": queries["qix"].to_numpy(),
-                "qiy": queries["qiy"].to_numpy(),
-                "r_lo": queries["r_lo"].to_numpy(),
-                "r_hi": queries["r_hi"].to_numpy(),
-                "salt": queries["salt"].to_numpy(),
-                "cnt": out_cnt,
-                "kth": out_kth,
-                "best_dist": out_d,
-                "best_id": out_i,
-            }
-        )
+        out = {
+            "qid": queries["qid"].to_numpy(),
+            "qx": qx,
+            "qy": qy,
+            "qix": queries["qix"].to_numpy(),
+            "qiy": queries["qiy"].to_numpy(),
+            "r_lo": queries["r_lo"].to_numpy(),
+            "r_hi": queries["r_hi"].to_numpy(),
+            "salt": queries["salt"].to_numpy(),
+            "cnt": out_cnt,
+            "kth": out_kth,
+            "best_dist": out_d,
+            "best_id": out_i,
+        }
+        for i in range(n_extra):
+            out[f"qe{i}"] = queries[f"qe{i}"].to_numpy(dtype=np.float64)
+        return pd.DataFrame(out)
 
     return fn
 
 
-def _small_frontier_knn(points: DataFrame, frontier_rows, k: int) -> DataFrame:
+def _small_frontier_knn(
+    points: DataFrame, frontier_rows, k: int, extra_cols: tuple = ()
+) -> DataFrame:
     """Exact kNN for a SMALL query set by broadcast + one map pass over
     the points (no candidate generation at all).  Straggler queries
     after the bulk round typically sit in sparse regions whose certify
@@ -252,6 +314,14 @@ def _small_frontier_knn(points: DataFrame, frontier_rows, k: int) -> DataFrame:
     qid = np.array([r["qid"] for r in frontier_rows], dtype=np.int64)
     qx = np.array([r["qx"] for r in frontier_rows], dtype=np.float64)
     qy = np.array([r["qy"] for r in frontier_rows], dtype=np.float64)
+    n_extra = len(extra_cols)
+    qe = (
+        np.column_stack(
+            [np.array([r[f"qe{i}"] for r in frontier_rows], dtype=np.float64) for i in range(n_extra)]
+        )
+        if n_extra
+        else None
+    )
 
     def scan(batches):
         # per-partition running top-k per query
@@ -261,8 +331,17 @@ def _small_frontier_knn(points: DataFrame, frontier_rows, k: int) -> DataFrame:
             px = b["x"].to_numpy(dtype=np.float64)
             py = b["y"].to_numpy(dtype=np.float64)
             pid = b["id"].to_numpy(dtype=np.int64)
+            pe = (
+                np.column_stack(
+                    [b[c].to_numpy(dtype=np.float64) for c in extra_cols]
+                )
+                if n_extra
+                else None
+            )
             order = np.argsort(pid, kind="stable")
             px, py, pid = px[order], py[order], pid[order]
+            if n_extra:
+                pe = pe[order]
             for s in range(0, len(qid), 128):
                 e = min(s + 128, len(qid))
                 d = qx[s:e, None] - px[None, :]
@@ -271,6 +350,11 @@ def _small_frontier_knn(points: DataFrame, frontier_rows, k: int) -> DataFrame:
                 np.multiply(dy, dy, out=dy)
                 d += dy
                 del dy
+                for j in range(n_extra):
+                    dj = qe[s:e, j][:, None] - pe[:, j][None, :]
+                    np.multiply(dj, dj, out=dj)
+                    d += dj
+                    del dj
                 np.sqrt(d, out=d)
                 kk = min(k, d.shape[1])
                 idx = np.argsort(d, axis=1, kind="stable")[:, :kk]
@@ -298,7 +382,7 @@ def _small_frontier_knn(points: DataFrame, frontier_rows, k: int) -> DataFrame:
         if rows["qid"]:
             yield pd.DataFrame({c: np.concatenate(v) for c, v in rows.items()})
 
-    partials = points.select("id", "x", "y").mapInPandas(
+    partials = points.select("id", "x", "y", *extra_cols).mapInPandas(
         scan, schema="qid long, id long, dist double, rank int"
     )
     # partition-local top-k lists -> global top-k (tiny volume:
@@ -345,20 +429,32 @@ def knn_for_queries(
     spec: GridSpec | None = None,
     cfg: EngineConfig | None = None,
     queries_within_extent: bool = False,
+    extra_cols: tuple = (),
 ) -> DataFrame:
     """Exact kNN of each query point against ``points``.
 
-    points:  columns (id long, x double, y double)
-    queries: columns (qid long, x double, y double)
+    points:  columns (id long, x double, y double[, *extra_cols])
+    queries: columns (qid long, x double, y double[, *extra_cols])
     returns: (qid long, id long, dist double, rank int) — rank 1..k by
              (dist, id); fewer than k rows per qid when the dataset has
              fewer than k points (the reference pads with infinity
              dummies and filters them on read-out, rindex.rs:279-283 —
              we simply omit them).
 
+    ``extra_cols`` names additional coordinate columns (D > 2 — the
+    reference API is const-generic [f64; D], lib/src/rindex.rs:34,
+    node.rs:34).  The grid indexes the leading (x, y) pair only; the
+    kernel computes exact full-D distances, and the 2-D ring lower
+    bound remains a valid termination certificate because
+    dist_D(q, p) >= dist_2(q, p) >= ring_lower_bound for any point
+    outside the visited ring.  Convergence just takes more rounds in
+    higher D (rings certify later), never wrong answers.
+
     ``query_neighbors`` parity: rindex.rs:197-214.  k <= 0 or empty
     points => empty result (rindex.rs:198-200).
     """
+    extra_cols = tuple(extra_cols)
+    n_extra = len(extra_cols)
     spark = points.sparkSession
     out_schema = "qid long, id long, dist double, rank int"
     # k = 0 / empty index => empty result (rindex.rs:198-200), before any
@@ -424,7 +520,7 @@ def knn_for_queries(
         )
     r_max = int(span / spec.cell_size) + 2
 
-    pts = with_cells(points.select("id", "x", "y"), spec)
+    pts = with_cells(points.select("id", "x", "y", *extra_cols), spec)
     pts = pts.withColumn("sx", F.shiftright("ix", _SUPER_SHIFT)).withColumn(
         "sy", F.shiftright("iy", _SUPER_SHIFT)
     )
@@ -455,7 +551,12 @@ def knn_for_queries(
 
     frontier = (
         with_cells(
-            queries.select("qid", F.col("x").alias("qx"), F.col("y").alias("qy")),
+            queries.select(
+                "qid",
+                F.col("x").alias("qx"),
+                F.col("y").alias("qy"),
+                *[F.col(c).alias(f"qe{i}") for i, c in enumerate(extra_cols)],
+            ),
             spec,
             x="qx",
             y="qy",
@@ -491,7 +592,8 @@ def knn_for_queries(
         .withColumn("best_id", F.lit(b""))
     )
 
-    round_udf = _make_round_udf(k)
+    round_udf = _make_round_udf(k, n_extra=n_extra)
+    state_schema = _state_schema(n_extra)
     finished_parts: list[DataFrame] = []
     debug = bool(os.environ.get("RINDEX_DEBUG_TIMING"))
     group_keys = ["sx", "sy", "r_lo", "r_hi", "salt"]
@@ -537,7 +639,10 @@ def knn_for_queries(
                 & (F.col("cp.iy") >= lo_y)
                 & (F.col("cp.iy") <= hi_y)
             )
-            .select("ksx", "ksy", "klo", "khi", "ksalt", "cp.id", "cp.x", "cp.y")
+            .select(
+                "ksx", "ksy", "klo", "khi", "ksalt", "cp.id", "cp.x", "cp.y",
+                *[F.col(f"cp.{c}").alias(f"e{i}") for i, c in enumerate(extra_cols)],
+            )
         )
 
         # persist (NOT localCheckpoint): the n_left count below doubles
@@ -549,7 +654,7 @@ def knn_for_queries(
         state = (
             frontier.groupBy(*group_keys)
             .cogroup(cand.groupBy("ksx", "ksy", "klo", "khi", "ksalt"))
-            .applyInPandas(round_udf, schema=_STATE_SCHEMA)
+            .applyInPandas(round_udf, schema=state_schema)
             .persist()
         )
 
@@ -609,8 +714,12 @@ def knn_for_queries(
         # even when the point set is tiny (flop gate alone would admit
         # multi-million-row collects).
         if (n_left * ext["n"] <= 4e9 and n_left <= 200_000) or n_left <= 512:
-            rows = next_frontier.select("qid", "qx", "qy").collect()
-            finished_parts.append(_small_frontier_knn(points, rows, k))
+            rows = next_frontier.select(
+                "qid", "qx", "qy", *[f"qe{i}" for i in range(n_extra)]
+            ).collect()
+            finished_parts.append(
+                _small_frontier_knn(points, rows, k, extra_cols=extra_cols)
+            )
             if debug:
                 print(f"[knn brute] {n_left} stragglers via full scan", flush=True)
             break
@@ -633,6 +742,7 @@ def build_knn_graph(
     k: int,
     spec: GridSpec | None = None,
     cfg: EngineConfig | None = None,
+    extra_cols: tuple = (),
 ) -> DataFrame:
     """The materialized kNN graph: every point's k nearest neighbors
     INCLUDING itself at distance 0.0 / rank 1 (reference invariant:
@@ -642,8 +752,11 @@ def build_knn_graph(
 
     returns: (src long, dst long, dist double, rank int)
     """
-    queries = points.select(F.col("id").alias("qid"), "x", "y")
-    g = knn_for_queries(points, queries, k, spec=spec, cfg=cfg, queries_within_extent=True)
+    queries = points.select(F.col("id").alias("qid"), "x", "y", *extra_cols)
+    g = knn_for_queries(
+        points, queries, k, spec=spec, cfg=cfg,
+        queries_within_extent=True, extra_cols=extra_cols,
+    )
     return g.select(
         F.col("qid").alias("src"), F.col("id").alias("dst"), "dist", "rank"
     )
