@@ -113,7 +113,7 @@ def main() -> None:
     from rindex_spark.functions.text import fingerprint, lang_id, with_text_stats
     from rindex_spark.grid import infer_grid
     from rindex_spark.operators.ann import cosine_topk
-    from rindex_spark.operators.dedup import minhash_lsh_pairs
+    from rindex_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
     from rindex_spark.operators.knn import build_knn_graph
     from rindex_spark.operators.range_query import range_join
     from rindex_spark.operators.rknn import reverse_knn
@@ -213,6 +213,17 @@ def main() -> None:
     )
 
     bench("minhash_dedup", lambda: minhash_lsh_pairs(docs, threshold=0.2).count())
+
+    # hot-shingle guard under adversarial skew: EVERY doc shares a
+    # boilerplate tail, so each boilerplate shingle alone would emit
+    # n_docs^2 candidate pairs; max_df drops them from the index while
+    # scores stay exact (array_intersect verify on full shingle sets)
+    boiler = " subscribe to our newsletter for weekly updates and offers"
+    docs_skew = docs.withColumn("text", F.concat(F.col("text"), F.lit(boiler * 2)))
+    bench(
+        "ngram_jaccard_skew",
+        lambda: ngram_jaccard_pairs(docs_skew, threshold=0.5, max_df=100).count(),
+    )
 
     qe = emb.filter((F.col("vec_id") % 10) == 0).select(
         F.col("vec_id").alias("qid"), "embedding"

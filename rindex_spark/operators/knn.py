@@ -86,8 +86,10 @@ _MAX_GROUP_QUERIES = 32768
 
 
 def _make_round_udf(k: int, chunk: int = 256, cand_chunk: int = 4096, n_extra: int = 0):
-    """Cogrouped per-supercell kNN round: merge each query's carried
-    top-k (packed binary) with the candidates of its dilated block.
+    """Cogrouped kNN round over a HASH BUCKET of supercell groups:
+    merge each query's carried top-k (packed binary) with the
+    candidates of its dilated block.  Subgroups inside the bucket are
+    matched with one sort + searchsorted — see fn's docstring.
 
     n_extra > 0 (D > 2 points, reference const-generic [f64; D],
     lib/src/rindex.rs:34): extra coordinates ride as qe{i}/e{i} double
@@ -104,135 +106,117 @@ def _make_round_udf(k: int, chunk: int = 256, cand_chunk: int = 4096, n_extra: i
     )
 
     def fn(queries: pd.DataFrame, cand: pd.DataFrame) -> pd.DataFrame:
+        """One HASH BUCKET of supercell groups (not one supercell): the
+        cogroup key is pmod(xxhash64(supercell key), B), so each call
+        carries MANY (sx, sy, r_lo, r_hi, salt) subgroups.  Subgroups
+        are matched by sorting both sides on the composite key and
+        slicing — the per-group pandas/Arrow overhead that dominated
+        per-supercell cogrouping (~95% of round CPU at 2M points, the
+        kernel itself being seconds) is paid once per BUCKET instead."""
         nq = len(queries)
         if nq == 0:
             return empty
-        qx = queries["qx"].to_numpy(dtype=np.float64)
-        qy = queries["qy"].to_numpy(dtype=np.float64)
+
+        # --- bucket-level extraction + subgroup sort (once per bucket)
+        qkey = np.stack(
+            [queries[c].to_numpy(dtype=np.int64) for c in ("sx", "sy", "r_lo", "r_hi", "salt")],
+            axis=1,
+        )
+        qord = np.lexsort(tuple(qkey[:, j] for j in (4, 3, 2, 1, 0)))
+        qkey = np.ascontiguousarray(qkey[qord])
+        qkv = qkey.view([("", np.int64)] * 5).ravel()
+        qid_a = queries["qid"].to_numpy()[qord]
+        qx = queries["qx"].to_numpy(dtype=np.float64)[qord]
+        qy = queries["qy"].to_numpy(dtype=np.float64)[qord]
+        qix_a = queries["qix"].to_numpy()[qord]
+        qiy_a = queries["qiy"].to_numpy()[qord]
         if n_extra:
             QE = np.column_stack(
                 [queries[f"qe{i}"].to_numpy(dtype=np.float64) for i in range(n_extra)]
-            )
+            )[qord]
+        bd_in = queries["best_dist"].to_numpy()[qord]
+        bi_in = queries["best_id"].to_numpy()[qord]
         prev_d = [
-            np.frombuffer(b, dtype=np.float64) if b else np.empty(0)
-            for b in queries["best_dist"]
+            np.frombuffer(b, dtype=np.float64) if b else np.empty(0) for b in bd_in
         ]
         prev_i = [
             np.frombuffer(b, dtype=np.int64) if b else np.empty(0, dtype=np.int64)
-            for b in queries["best_id"]
+            for b in bi_in
         ]
 
         nc = len(cand)
         if nc:
-            cx = cand["x"].to_numpy(dtype=np.float64)
-            cy = cand["y"].to_numpy(dtype=np.float64)
-            cid = cand["id"].to_numpy(dtype=np.int64)
-            # float32 SELECTION lane: halves the memory traffic of the
-            # distance matrices (the kernel is DRAM-bound at high core
-            # counts).  Coordinates are centered on the group first —
-            # raw f32 casts suffer catastrophic cancellation for nearby
-            # points at large coordinates; after centering the values
-            # are cell-scale and f32's relative precision applies.
-            # Selection uses SQUARED distance (monotone, no sqrt pass);
-            # exactness is restored by an epsilon-widened pool + exact
-            # f64 refine below.
+            ckey = np.stack(
+                [cand[c].to_numpy(dtype=np.int64) for c in ("ksx", "ksy", "klo", "khi", "ksalt")],
+                axis=1,
+            )
+            cord = np.lexsort(tuple(ckey[:, j] for j in (4, 3, 2, 1, 0)))
+            ckey = np.ascontiguousarray(ckey[cord])
+            ckv = ckey.view([("", np.int64)] * 5).ravel()
+            cx = cand["x"].to_numpy(dtype=np.float64)[cord]
+            cy = cand["y"].to_numpy(dtype=np.float64)[cord]
+            cid = cand["id"].to_numpy(dtype=np.int64)[cord]
             if n_extra:
                 CE = np.column_stack(
                     [cand[f"e{i}"].to_numpy(dtype=np.float64) for i in range(n_extra)]
-                )
-            gx0 = cx.mean()
-            gy0 = cy.mean()
-            cx32 = (cx - gx0).astype(np.float32)
-            cy32 = (cy - gy0).astype(np.float32)
-            qx32 = (qx - gx0).astype(np.float32)
-            qy32 = (qy - gy0).astype(np.float32)
-            # centered coordinates can still be large when QUERIES sit
-            # far from the candidate block's centroid — the error bound
-            # below must cover the query coords too
-            span2 = float(
-                max(
-                    cx32.max() - cx32.min() if nc else 1.0,
-                    cy32.max() - cy32.min() if nc else 1.0,
-                    float(np.abs(qx32).max()) if nq else 0.0,
-                    float(np.abs(qy32).max()) if nq else 0.0,
-                    1e-30,
-                )
-            )
-            # rigorous f32 squared-distance error bound (ADVICE r1):
-            # with |coords| <= S := span2, each centered f32 coordinate
-            # carries error <= 2*S*2^-24 (cast + subtract rounding), so
-            # |d32 - d_true| <= 3*sqrt(d)*e1 + 2*e1^2 + 3*d*2^-24 with
-            # e1 = 4*S*2^-24 (product/sum rounding folded into the
-            # relative term; constants rounded up).
-            _e1 = 4.0 * span2 * 2.0**-24
+                )[cord]
 
         out_cnt = np.empty(nq, dtype=np.int64)
         out_kth = np.empty(nq, dtype=np.float64)
         out_d: list[bytes] = [b""] * nq
         out_i: list[bytes] = [b""] * nq
 
-        def merge_into(cur_d, cur_i, r, dd, ii):
-            """Merge chunk top-k into the running best; the halo may
-            re-scan visited cells, so DEDUPE exact (dist,id) duplicates
-            (equal keys sort adjacent)."""
+        def merge_into(r, dd, ii):
+            """Merge chunk top-k into query r's running best; the halo
+            may re-scan visited cells, so DEDUPE exact (dist,id)
+            duplicates (equal keys sort adjacent)."""
             o = np.lexsort((ii, dd))[:k]
             dd, ii = dd[o], ii[o]
-            if len(cur_d[r]):
-                md = np.concatenate([cur_d[r], dd])
-                mi = np.concatenate([cur_i[r], ii])
+            if len(prev_d[r]):
+                md = np.concatenate([prev_d[r], dd])
+                mi = np.concatenate([prev_i[r], ii])
                 mo = np.lexsort((mi, md))
                 md, mi = md[mo], mi[mo]
                 keep = np.ones(len(mi), dtype=bool)
                 keep[1:] = (mi[1:] != mi[:-1]) | (md[1:] != md[:-1])
-                cur_d[r], cur_i[r] = md[keep][:k], mi[keep][:k]
+                prev_d[r], prev_i[r] = md[keep][:k], mi[keep][:k]
             else:
-                cur_d[r], cur_i[r] = dd, ii
+                prev_d[r], prev_i[r] = dd, ii
 
-        for s in range(0, nq, chunk):
-            e = min(s + chunk, nq)
-            cur_d = prev_d[s:e]
-            cur_i = prev_i[s:e]
-            if nc and n_extra:
-                # D > 2: exact full-D f64 squared distances (no f32
-                # lane); accumulation order ((dx^2+dy^2)+dz^2)+... is
-                # the canonical IEEE order of the oracles, so sqrt(d2)
-                # IS the exact refined distance
-                for cs_ in range(0, nc, cand_chunk):
-                    ce = min(cs_ + cand_chunk, nc)
-                    ids_c = cid[cs_:ce]
-                    d2 = qx[s:e, None] - cx[None, cs_:ce]
-                    np.multiply(d2, d2, out=d2)
-                    dy = qy[s:e, None] - cy[None, cs_:ce]
-                    np.multiply(dy, dy, out=dy)
-                    d2 += dy
-                    del dy
-                    for j in range(n_extra):
-                        dj = QE[s:e, j][:, None] - CE[cs_:ce, j][None, :]
-                        np.multiply(dj, dj, out=dj)
-                        d2 += dj
-                        del dj
-                    kk = min(k, ce - cs_)
-                    part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
-                    pmax = np.take_along_axis(d2, part, axis=1).max(axis=1)
-                    # ties live in DIST (sqrt) space: two d2 values a few
-                    # ulp apart can round to the SAME sqrt, so the pool
-                    # must include d2 in [pmax, pmax + 4 ulp] or a true
-                    # (dist, id) tie with a smaller id gets dropped
-                    thr = pmax + 4.0 * np.spacing(np.abs(pmax))
-                    n_le = (d2 <= thr[:, None]).sum(axis=1)
-                    for r in range(e - s):
-                        if n_le[r] > kk:
-                            idxs = np.nonzero(d2[r] <= thr[r])[0]
-                        else:
-                            idxs = part[r]
-                        merge_into(cur_d, cur_i, r, np.sqrt(d2[r][idxs]), ids_c[idxs])
-            elif nc:
-                for cs_ in range(0, nc, cand_chunk):
-                    ce = min(cs_ + cand_chunk, nc)
-                    ids_c = cid[cs_:ce]
-                    # squared distances in f32, in-place (one temporary
-                    # matrix, not five — large-temporary churn across
-                    # concurrent workers page-fault-contends the kernel)
+        def run_subgroup_2d(qs, qe_, lo, hi):
+            # float32 SELECTION lane: halves the memory traffic of the
+            # distance matrices.  Coordinates are centered on the
+            # SUBGROUP first — raw f32 casts suffer catastrophic
+            # cancellation for nearby points at large coordinates;
+            # centered values are cell-scale.  Selection uses SQUARED
+            # distance; exactness is restored by a rigorously widened
+            # pool + exact f64 refine.
+            gx0 = cx[lo:hi].mean()
+            gy0 = cy[lo:hi].mean()
+            cx32 = (cx[lo:hi] - gx0).astype(np.float32)
+            cy32 = (cy[lo:hi] - gy0).astype(np.float32)
+            qx32 = (qx[qs:qe_] - gx0).astype(np.float32)
+            qy32 = (qy[qs:qe_] - gy0).astype(np.float32)
+            span2 = float(
+                max(
+                    cx32.max() - cx32.min(),
+                    cy32.max() - cy32.min(),
+                    float(np.abs(qx32).max()),
+                    float(np.abs(qy32).max()),
+                    1e-30,
+                )
+            )
+            # rigorous f32 squared-distance error bound (ADVICE r1):
+            # with |coords| <= S := span2, each centered f32 coordinate
+            # carries error <= 2*S*2^-24, so |d32 - d_true| <=
+            # 3*sqrt(d)*e1 + 2*e1^2 + 3*d*2^-24 with e1 = 4*S*2^-24.
+            _e1 = 4.0 * span2 * 2.0**-24
+            ncl = hi - lo
+            for s in range(0, qe_ - qs, chunk):
+                e = min(s + chunk, qe_ - qs)
+                for cs_ in range(0, ncl, cand_chunk):
+                    ce = min(cs_ + cand_chunk, ncl)
+                    ids_c = cid[lo + cs_ : lo + ce]
                     d32 = qx32[s:e, None] - cx32[None, cs_:ce]
                     np.multiply(d32, d32, out=d32)
                     dy32 = qy32[s:e, None] - cy32[None, cs_:ce]
@@ -240,17 +224,13 @@ def _make_round_udf(k: int, chunk: int = 256, cand_chunk: int = 4096, n_extra: i
                     d32 += dy32
                     del dy32
                     kk = min(k, ce - cs_)
-                    # O(c) pool selection on the f32 lane, then widen by
-                    # a relative+absolute epsilon so the pool provably
-                    # contains the true f64 top-k (incl. exact ties)
                     part = np.argpartition(d32, kk - 1, axis=1)[:, :kk]
                     pmax = np.take_along_axis(d32, part, axis=1).max(axis=1).astype(
                         np.float64
                     )
-                    # widen by 4x the derived error bound at pmax: a true
-                    # top-k member's f32 value exceeds pmax by at most
-                    # 2*err(kth_true^2) and kth_true^2 <= pmax + err, so
-                    # 4x covers the iteration slack with margin
+                    # widen by 4x the derived error bound at pmax: a
+                    # true top-k member's f32 value exceeds pmax by at
+                    # most 2*err(kth_true^2), kth_true^2 <= pmax + err
                     err = (
                         3.0 * np.sqrt(np.maximum(pmax, 0.0)) * _e1
                         + 2.0 * _e1 * _e1
@@ -265,35 +245,96 @@ def _make_round_udf(k: int, chunk: int = 256, cand_chunk: int = 4096, n_extra: i
                             idxs = part[r]
                         # exact f64 refine on the pool only — ORIGINAL
                         # coordinates, canonical IEEE op order (matches
-                        # the reference and the SQL oracles bit-for-bit)
-                        gx = cx[cs_ + idxs]
-                        gy = cy[cs_ + idxs]
-                        ddx = qx[s + r] - gx
-                        ddy = qy[s + r] - gy
+                        # the reference and the SQL oracles)
+                        gx = cx[lo + cs_ + idxs]
+                        gy = cy[lo + cs_ + idxs]
+                        ddx = qx[qs + s + r] - gx
+                        ddy = qy[qs + s + r] - gy
                         dd = np.sqrt(ddx * ddx + ddy * ddy)
-                        merge_into(cur_d, cur_i, r, dd, ids_c[idxs])
-            for r in range(e - s):
-                out_d[s + r] = cur_d[r].tobytes()
-                out_i[s + r] = cur_i[r].tobytes()
-                out_cnt[s + r] = len(cur_d[r])
-                out_kth[s + r] = cur_d[r][-1] if len(cur_d[r]) else np.inf
+                        merge_into(qs + s + r, dd, ids_c[idxs])
+
+        def run_subgroup_nd(qs, qe_, lo, hi):
+            # D > 2: exact full-D f64 squared distances (no f32 lane);
+            # accumulation order ((dx^2+dy^2)+dz^2)+... is the canonical
+            # IEEE order of the oracles, so sqrt(d2) IS the exact dist.
+            ncl = hi - lo
+            for s in range(0, qe_ - qs, chunk):
+                e = min(s + chunk, qe_ - qs)
+                for cs_ in range(0, ncl, cand_chunk):
+                    ce = min(cs_ + cand_chunk, ncl)
+                    ids_c = cid[lo + cs_ : lo + ce]
+                    d2 = qx[qs + s : qs + e, None] - cx[None, lo + cs_ : lo + ce]
+                    np.multiply(d2, d2, out=d2)
+                    dy = qy[qs + s : qs + e, None] - cy[None, lo + cs_ : lo + ce]
+                    np.multiply(dy, dy, out=dy)
+                    d2 += dy
+                    del dy
+                    for j in range(n_extra):
+                        dj = (
+                            QE[qs + s : qs + e, j][:, None]
+                            - CE[lo + cs_ : lo + ce, j][None, :]
+                        )
+                        np.multiply(dj, dj, out=dj)
+                        d2 += dj
+                        del dj
+                    kk = min(k, ce - cs_)
+                    part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+                    pmax = np.take_along_axis(d2, part, axis=1).max(axis=1)
+                    # ties live in DIST (sqrt) space: two d2 values a
+                    # few ulp apart can round to the SAME sqrt, so the
+                    # pool includes d2 in [pmax, pmax + 4 ulp]
+                    thr = pmax + 4.0 * np.spacing(np.abs(pmax))
+                    n_le = (d2 <= thr[:, None]).sum(axis=1)
+                    for r in range(e - s):
+                        if n_le[r] > kk:
+                            idxs = np.nonzero(d2[r] <= thr[r])[0]
+                        else:
+                            idxs = part[r]
+                        merge_into(
+                            qs + s + r, np.sqrt(d2[r][idxs]), ids_c[idxs]
+                        )
+
+        # subgroup boundaries in the sorted queries; candidates matched
+        # by binary search on the shared composite key
+        bounds = np.concatenate(
+            [[0], np.nonzero(qkv[1:] != qkv[:-1])[0] + 1, [nq]]
+        )
+        for g in range(len(bounds) - 1):
+            qs, qe_ = int(bounds[g]), int(bounds[g + 1])
+            if nc:
+                key = qkv[qs]
+                lo = int(np.searchsorted(ckv, key, side="left"))
+                hi = int(np.searchsorted(ckv, key, side="right"))
+            else:
+                lo = hi = 0
+            if hi > lo:
+                if n_extra:
+                    run_subgroup_nd(qs, qe_, lo, hi)
+                else:
+                    run_subgroup_2d(qs, qe_, lo, hi)
+
+        for r in range(nq):
+            out_d[r] = prev_d[r].tobytes()
+            out_i[r] = prev_i[r].tobytes()
+            out_cnt[r] = len(prev_d[r])
+            out_kth[r] = prev_d[r][-1] if len(prev_d[r]) else np.inf
 
         out = {
-            "qid": queries["qid"].to_numpy(),
+            "qid": qid_a,
             "qx": qx,
             "qy": qy,
-            "qix": queries["qix"].to_numpy(),
-            "qiy": queries["qiy"].to_numpy(),
-            "r_lo": queries["r_lo"].to_numpy(),
-            "r_hi": queries["r_hi"].to_numpy(),
-            "salt": queries["salt"].to_numpy(),
+            "qix": qix_a,
+            "qiy": qiy_a,
+            "r_lo": qkey[:, 2],
+            "r_hi": qkey[:, 3],
+            "salt": qkey[:, 4],
             "cnt": out_cnt,
             "kth": out_kth,
             "best_dist": out_d,
             "best_id": out_i,
         }
         for i in range(n_extra):
-            out[f"qe{i}"] = queries[f"qe{i}"].to_numpy(dtype=np.float64)
+            out[f"qe{i}"] = QE[:, i]
         return pd.DataFrame(out)
 
     return fn
@@ -596,7 +637,19 @@ def knn_for_queries(
     state_schema = _state_schema(n_extra)
     finished_parts: list[DataFrame] = []
     debug = bool(os.environ.get("RINDEX_DEBUG_TIMING"))
-    group_keys = ["sx", "sy", "r_lo", "r_hi", "salt"]
+    # cogroup on a HASH BUCKET of the supercell key, not the key itself:
+    # millions of points mean tens of thousands of supercell groups, and
+    # Spark's per-group pandas machinery was ~95% of round CPU.  Buckets
+    # keep each task's Arrow/pandas overhead O(1); the UDF slices
+    # subgroups out with one sort + searchsorted.  4x parallelism gives
+    # AQE room to balance without making buckets per-group-small again.
+    n_buckets = max(64, spark.sparkContext.defaultParallelism * 4)
+    q_bkt = F.pmod(
+        F.xxhash64("sx", "sy", "r_lo", "r_hi", "salt"), F.lit(n_buckets)
+    ).alias("bkt")
+    c_bkt = F.pmod(
+        F.xxhash64("ksx", "ksy", "klo", "khi", "ksalt"), F.lit(n_buckets)
+    ).alias("bkt")
 
     for _round in range(cfg.max_rounds):
         _t0 = _time.monotonic()
@@ -652,8 +705,9 @@ def knn_for_queries(
         # pts already disambiguates the self-join.  MEMORY_AND_DISK
         # eviction spills instead of recomputing.
         state = (
-            frontier.groupBy(*group_keys)
-            .cogroup(cand.groupBy("ksx", "ksy", "klo", "khi", "ksalt"))
+            frontier.withColumn("bkt", q_bkt)
+            .groupBy("bkt")
+            .cogroup(cand.withColumn("bkt", c_bkt).groupBy("bkt"))
             .applyInPandas(round_udf, schema=state_schema)
             .persist()
         )

@@ -38,7 +38,11 @@ def reverse_knn(
     self; queries: (qid, x, y).
 
     returns (qid, id, dist) — every point whose k-NN ball (including
-    itself) covers the query point; ascending (dist, id) per qid.
+    itself) covers the query point; ascending (qid, dist, id) — the
+    reference returns its result sorted ascending (rindex.rs:238-240),
+    so the order IS the contract.  The sort costs an exchange over the
+    RESULT only (query-scale, not corpus-scale): reverse-neighbor sets
+    are O(k * |queries|)-ish, so this never becomes a data-sized sort.
     """
     spark = points.sparkSession
     if k <= 0:

@@ -73,6 +73,27 @@ def test_minhash_lsh_recall(spark):
     assert recall >= 0.9, f"minhash LSH recall {recall:.3f} < 0.9 ({len(lsh)}/{len(exact)})"
 
 
+def test_ngram_hot_shingle_guard_exact_under_skew(spark):
+    """Adversarial boilerplate: every doc shares a common tail, so each
+    boilerplate shingle alone would generate all-pairs candidates.  The
+    max_df guard must (a) keep the output EQUAL to the unguarded exact
+    join — true near-dups share plenty of non-hot body shingles — and
+    (b) keep scores exact (verify runs on the FULL shingle sets)."""
+    base = _planted_docs(spark, n_base=80, n_dup=30)
+    boiler = " subscribe to our newsletter for weekly updates and offers"
+    docs = base.withColumn("text", F.concat(F.col("text"), F.lit(boiler * 2))).cache()
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.7, max_df=None).collect()
+    }
+    guarded = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.7, max_df=50).collect()
+    }
+    assert len(exact) >= 30
+    assert guarded == exact
+
+
 def test_simhash_pairs_equal_bruteforce(spark):
     docs = _planted_docs(spark).cache()
     hs = {r["doc"]: r["simhash"] for r in simhash64(docs).collect()}
