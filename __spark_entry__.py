@@ -191,6 +191,7 @@ def q_text_stats(spark, sf_dir):
         "doc_id",
         "n_chars_calc",
         "n_tokens",
+        "n_tokens_bpe",
         "alpha_ratio",
         "digit_ratio",
         "punct_ratio",
@@ -392,6 +393,7 @@ SELECT doc_id,
   CAST(length(text) AS BIGINT) AS n_chars_calc,
   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens_bpe,
   CASE WHEN length(text) > 0
        THEN (length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g'))) / length(text)
        ELSE 0.0 END AS alpha_ratio,

@@ -99,7 +99,14 @@ def main() -> None:
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("rindex-spark-bench")
-        .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 16)))
+        # partition count follows the DATA (sf0.1 ~ 100k rows -> 32
+        # splits is plenty), not the core count: at this input size
+        # extra partitions only add task-grain overhead.  On a real
+        # cluster files.maxPartitionBytes plays this role.
+        .config(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("SPARK_GRAFT_SHUFFLE", str(min(max(cpus, 16), 32))),
+        )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", "48g")

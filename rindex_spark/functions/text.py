@@ -120,10 +120,16 @@ def lang_id_series(text: pd.Series) -> pd.Series:
 # ---------------------------------------------------------------------------
 # quality / token stats — pure column expressions (JVM-side, no UDF)
 
+# BPE-ish pre-tokenization: letter runs, single digits, single
+# non-alphanumeric marks — the GPT-2-style split shape (letters chunk,
+# digits split, punctuation isolates), minus byte-level merges
+_BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
 def with_text_stats(df, text_col: str = "text"):
-    """Adds n_chars_calc, n_tokens, alpha_ratio, digit_ratio,
-    punct_ratio, avg_token_len, quality_score — all built-in functions,
-    whole-stage codegen."""
+    """Adds n_chars_calc, n_tokens, n_tokens_bpe, alpha_ratio,
+    digit_ratio, punct_ratio, avg_token_len, quality_score — all
+    built-in functions, whole-stage codegen."""
     t = F.col(text_col)
     n_chars = F.length(t)
     stripped = F.regexp_replace(t, r"[a-zA-Z]", "")
@@ -143,9 +149,11 @@ def with_text_stats(df, text_col: str = "text"):
         + F.lit(0.3) * (F.lit(1.0) - digit_ratio)
         + F.lit(0.2) * F.least(F.lit(1.0), n_tokens / F.lit(100.0))
     )
+    n_tokens_bpe = F.size(F.regexp_extract_all(t, F.lit(_BPE_TOKEN_RE), 0))
     return (
         df.withColumn("n_chars_calc", n_chars.cast("long"))
         .withColumn("n_tokens", n_tokens.cast("long"))
+        .withColumn("n_tokens_bpe", n_tokens_bpe.cast("long"))
         .withColumn("alpha_ratio", alpha_ratio.cast("double"))
         .withColumn("digit_ratio", digit_ratio.cast("double"))
         .withColumn("punct_ratio", punct_ratio.cast("double"))

@@ -106,6 +106,15 @@ def _make_round_udf(k: int, chunk: int = 256, cand_chunk: int = 4096, n_extra: i
     )
 
     def fn(queries: pd.DataFrame, cand: pd.DataFrame) -> pd.DataFrame:
+        if os.environ.get("RINDEX_KNN_PROF"):
+            t0 = _time.monotonic()
+            out = _fn(queries, cand)
+            with open(f"/tmp/knn_prof_{os.getpid()}.csv", "a") as f:
+                f.write(f"{_time.monotonic()-t0:.4f},{len(queries)},{len(cand)}\n")
+            return out
+        return _fn(queries, cand)
+
+    def _fn(queries: pd.DataFrame, cand: pd.DataFrame) -> pd.DataFrame:
         """One HASH BUCKET of supercell groups (not one supercell): the
         cogroup key is pmod(xxhash64(supercell key), B), so each call
         carries MANY (sx, sy, r_lo, r_hi, salt) subgroups.  Subgroups
@@ -238,7 +247,36 @@ def _make_round_udf(k: int, chunk: int = 256, cand_chunk: int = 4096, n_extra: i
                     )
                     thr = pmax + 4.0 * err + 1e-300
                     n_le = (d32 <= thr[:, None]).sum(axis=1)
-                    for r in range(e - s):
+                    # --- vectorized fast path (the overwhelmingly
+                    # common case: pool not widened, no carried state).
+                    # A per-query merge loop here costs a Python lexsort
+                    # per POINT — ~100 s of the 2M-point round; the
+                    # row-wise refine below replaces it with five
+                    # whole-chunk numpy ops.  (dist, id) order comes
+                    # from two stable argsorts: secondary key first.
+                    fresh = np.array(
+                        [len(prev_d[qs + s + r]) == 0 for r in range(e - s)]
+                    )
+                    fast = fresh & (n_le <= kk)
+                    if fast.any():
+                        fidx = np.nonzero(fast)[0]
+                        pool = part[fidx]  # (m, kk) candidate offsets
+                        gx = cx[lo + cs_ :][pool]
+                        gy = cy[lo + cs_ :][pool]
+                        ddx = qx[qs + s + fidx][:, None] - gx
+                        ddy = qy[qs + s + fidx][:, None] - gy
+                        dd = np.sqrt(ddx * ddx + ddy * ddy)
+                        ii = ids_c[pool]
+                        o1 = np.argsort(ii, axis=1, kind="stable")
+                        dd = np.take_along_axis(dd, o1, axis=1)
+                        ii = np.take_along_axis(ii, o1, axis=1)
+                        o2 = np.argsort(dd, axis=1, kind="stable")
+                        dd = np.take_along_axis(dd, o2, axis=1)[:, :k]
+                        ii = np.take_along_axis(ii, o2, axis=1)[:, :k]
+                        for m, r in enumerate(fidx):
+                            prev_d[qs + s + r] = dd[m]
+                            prev_i[qs + s + r] = ii[m]
+                    for r in np.nonzero(~fast)[0]:
                         if n_le[r] > kk:
                             idxs = np.nonzero(d32[r] <= thr[r])[0]
                         else:
@@ -279,13 +317,32 @@ def _make_round_udf(k: int, chunk: int = 256, cand_chunk: int = 4096, n_extra: i
                         del dj
                     kk = min(k, ce - cs_)
                     part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
-                    pmax = np.take_along_axis(d2, part, axis=1).max(axis=1)
+                    pool_d2 = np.take_along_axis(d2, part, axis=1)
+                    pmax = pool_d2.max(axis=1)
                     # ties live in DIST (sqrt) space: two d2 values a
                     # few ulp apart can round to the SAME sqrt, so the
                     # pool includes d2 in [pmax, pmax + 4 ulp]
                     thr = pmax + 4.0 * np.spacing(np.abs(pmax))
                     n_le = (d2 <= thr[:, None]).sum(axis=1)
-                    for r in range(e - s):
+                    # vectorized fast path (see run_subgroup_2d)
+                    fresh = np.array(
+                        [len(prev_d[qs + s + r]) == 0 for r in range(e - s)]
+                    )
+                    fast = fresh & (n_le <= kk)
+                    if fast.any():
+                        fidx = np.nonzero(fast)[0]
+                        dd = np.sqrt(pool_d2[fidx])
+                        ii = ids_c[part[fidx]]
+                        o1 = np.argsort(ii, axis=1, kind="stable")
+                        dd = np.take_along_axis(dd, o1, axis=1)
+                        ii = np.take_along_axis(ii, o1, axis=1)
+                        o2 = np.argsort(dd, axis=1, kind="stable")
+                        dd = np.take_along_axis(dd, o2, axis=1)[:, :k]
+                        ii = np.take_along_axis(ii, o2, axis=1)[:, :k]
+                        for m, r in enumerate(fidx):
+                            prev_d[qs + s + r] = dd[m]
+                            prev_i[qs + s + r] = ii[m]
+                    for r in np.nonzero(~fast)[0]:
                         if n_le[r] > kk:
                             idxs = np.nonzero(d2[r] <= thr[r])[0]
                         else:

@@ -76,6 +76,87 @@ def extract_features(
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = "media_id long, frame_idx int, ts_ms int, frame binary"
+
+
+def sample_frames(
+    media: DataFrame,
+    frame_bytes: int = 16,
+    every_ms: int = 40,
+    max_frames: int = 64,
+) -> DataFrame:
+    """Video frame-sampling PLUMBING (media -> one row per sampled
+    frame): the Spark side — schema, fan-out row explosion, Arrow batch
+    shape, bounded memory — is real; the 'decoder' slices the payload
+    into fixed-size pseudo-frames because no video codec exists in this
+    container (a real ffmpeg-style extractor drops into the same
+    mapInPandas signature, emitting the same FRAME_SCHEMA).
+
+    Output scales as rows_in x frames_per_row — the explosion happens
+    DISTRIBUTED (inside mapInPandas), never on the driver."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            mids, idxs, tss, frames = [], [], [], []
+            for mid, payload, dur in zip(
+                b["media_id"], b["payload"], b["duration_ms"]
+            ):
+                if payload is None:
+                    continue
+                n_frames = min(
+                    max(len(payload) // frame_bytes, 0),
+                    max_frames,
+                    max(int(dur) // every_ms, 1) if dur else max_frames,
+                )
+                for j in range(n_frames):
+                    mids.append(mid)
+                    idxs.append(j)
+                    tss.append(j * every_ms)
+                    frames.append(bytes(payload[j * frame_bytes : (j + 1) * frame_bytes]))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(mids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "ts_ms": pd.Series(tss, dtype="int32"),
+                    "frame": frames if frames else pd.Series([], dtype=object),
+                }
+            )
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+def resize_features(
+    features: DataFrame, out_dim: int = 8, feature_col: str = "feature"
+) -> DataFrame:
+    """Feature 'resize' (dimensionality pooling): mean-pool each feature
+    vector down to out_dim buckets — the vectorized stand-in for an
+    image resize's box filter, running on the already-extracted feature
+    column so the plumbing is codec-independent."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            feats = [np.asarray(f, dtype=np.float64) for f in b[feature_col]]
+            pooled = []
+            for f in feats:
+                if len(f) == 0:
+                    pooled.append(np.zeros(out_dim, dtype=np.float32).tolist())
+                    continue
+                chunks = np.array_split(f, out_dim)
+                pooled.append(
+                    np.array([c.mean() if len(c) else 0.0 for c in chunks], dtype=np.float32).tolist()
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": b["media_id"].to_numpy(),
+                    "kind": b["kind"].to_numpy(),
+                    "feature": pooled,
+                    "feat_dim": [out_dim] * len(pooled),
+                }
+            )
+
+    return features.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
 def generate_media(spark, n: int, kind: str = "image", partitions: int = 4) -> DataFrame:
     """Deterministic fake media table: payload bytes derived from the id
     (same purity rule as datagen.generate_pages)."""
