@@ -41,6 +41,11 @@ from rindex_spark.operators.dedup import (  # noqa: E402
 from rindex_spark.operators.knn import build_knn_graph, knn_for_queries  # noqa: E402
 from rindex_spark.operators.multimodal import extract_features, generate_media  # noqa: E402
 from rindex_spark.operators.range_query import range_join  # noqa: E402
+from rindex_spark.operators.raster import (  # noqa: E402
+    raster_to_cells_vector,
+    rasterize_points,
+    rasterize_polygons,
+)
 from rindex_spark.operators.rknn import reverse_knn  # noqa: E402
 from rindex_spark.operators.stats import knn_dist  # noqa: E402
 from rindex_spark.operators.tiling import assign_tiles  # noqa: E402
@@ -185,6 +190,40 @@ def q_pip_tiles(spark, sf_dir):
     return assign_tiles(pts, tiles, _SPEC, inclusive_l1_diamond=_TILE_R)
 
 
+def q_rasterize(spark, sf_dir):
+    """Vector points -> raster bands.  The value band is integer-valued
+    (doc_id % 97) so double sums are order-independent-exact and the
+    DuckDB hash matches bit-for-bit."""
+    pts = _points(spark, sf_dir).withColumn(
+        "val", (F.col("id") % 97).cast("double")
+    )
+    return rasterize_points(pts, _SPEC, value_col="val")
+
+
+def q_raster_vector(spark, sf_dir):
+    """Raster -> vector: occupied cells as boundary boxes (the ring
+    array is exercised in pytest; the driver row checks the corner
+    columns, which canonicalize)."""
+    pts = _points(spark, sf_dir)
+    r = rasterize_points(pts, _SPEC)
+    return raster_to_cells_vector(r, _SPEC).select(
+        "ix", "iy", "n", "x_min", "y_min", "x_max", "y_max"
+    )
+
+
+def q_polygon_raster(spark, sf_dir):
+    """Vector -> raster: deterministic diamond/box polygons burned into
+    grid cells by the center-sampling rule."""
+    polys = spark.range(0, 49).select(
+        F.col("id").alias("poly_id"),
+        (F.lit(-100.0) + 33.0 * (F.col("id") % 7)).alias("cx"),
+        (F.lit(-100.0) + 33.0 * (F.col("id") / 7).cast("long")).alias("cy"),
+        F.lit(23.7).alias("r"),
+        F.when((F.col("id") % 2) == 0, F.lit("diamond")).otherwise(F.lit("box")).alias("kind"),
+    )
+    return rasterize_polygons(polys, _SPEC)
+
+
 def q_text_stats(spark, sf_dir):
     d = _docs(spark, sf_dir)
     return with_text_stats(d).select(
@@ -283,6 +322,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_stats": q_cell_stats,
         "dynamic_fold": q_dynamic_fold,
         "pip_tiles": q_pip_tiles,
+        "rasterize": q_rasterize,
+        "raster_vector": q_raster_vector,
+        "polygon_raster": q_polygon_raster,
         "text_stats": q_text_stats,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
@@ -387,6 +429,48 @@ tiles AS (
 SELECT p.id, t.tile_id
 FROM pts p, tiles t
 WHERE abs(p.x - t.tcx) + abs(p.y - t.tcy) <= {_TILE_R}
+"""
+    sql["rasterize"] = f"""
+WITH pts AS ({_PTS_SQL}),
+v AS (SELECT id, x, y, CAST(id % 97 AS DOUBLE) AS val,
+      CAST(floor((x - (-100.0)) / 20.0) AS BIGINT) AS ix,
+      CAST(floor((y - (-100.0)) / 20.0) AS BIGINT) AS iy FROM pts)
+SELECT ix, iy, count(*) AS n, sum(val) AS v_sum, min(val) AS v_min,
+       max(val) AS v_max, sum(val) / count(*) AS v_mean
+FROM v GROUP BY ix, iy
+"""
+    sql["raster_vector"] = f"""
+WITH pts AS ({_PTS_SQL}),
+c AS (SELECT CAST(floor((x - (-100.0)) / 20.0) AS BIGINT) AS ix,
+             CAST(floor((y - (-100.0)) / 20.0) AS BIGINT) AS iy FROM pts),
+r AS (SELECT ix, iy, count(*) AS n FROM c GROUP BY ix, iy)
+SELECT ix, iy, n,
+       -100.0 + ix * 20.0 AS x_min, -100.0 + iy * 20.0 AS y_min,
+       (-100.0 + ix * 20.0) + 20.0 AS x_max, (-100.0 + iy * 20.0) + 20.0 AS y_max
+FROM r
+"""
+    sql["polygon_raster"] = """
+WITH p AS (
+  SELECT i AS poly_id, -100.0 + 33.0*(i%7) AS cx, -100.0 + 33.0*(i//7) AS cy, 23.7 AS r,
+         CASE WHEN i%2=0 THEN 'diamond' ELSE 'box' END AS kind
+  FROM (SELECT unnest(generate_series(0,48)) AS i)
+),
+b AS (
+  SELECT *,
+    CAST(floor((cx - r - (-100.0))/20.0) AS BIGINT) AS lo_ix,
+    CAST(floor((cx + r - (-100.0))/20.0) AS BIGINT) AS hi_ix,
+    CAST(floor((cy - r - (-100.0))/20.0) AS BIGINT) AS lo_iy,
+    CAST(floor((cy + r - (-100.0))/20.0) AS BIGINT) AS hi_iy
+  FROM p
+),
+c AS (
+  SELECT poly_id, cx, cy, r, kind, ix, iy
+  FROM b, UNNEST(generate_series(lo_ix, hi_ix)) AS tx(ix), UNNEST(generate_series(lo_iy, hi_iy)) AS ty(iy)
+)
+SELECT poly_id, ix, iy FROM c
+WHERE CASE WHEN kind='diamond'
+  THEN abs((-100.0 + (ix+0.5)*20.0) - cx) + abs((-100.0 + (iy+0.5)*20.0) - cy) <= r
+  ELSE greatest(abs((-100.0 + (ix+0.5)*20.0) - cx), abs((-100.0 + (iy+0.5)*20.0) - cy)) <= r END
 """
     sql["text_stats"] = """
 SELECT doc_id,
