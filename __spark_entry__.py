@@ -231,6 +231,7 @@ def q_text_stats(spark, sf_dir):
         "n_chars_calc",
         "n_tokens",
         "n_tokens_bpe",
+        "stopword_ratio",
         "alpha_ratio",
         "digit_ratio",
         "punct_ratio",
@@ -344,6 +345,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from rindex_spark.functions.text import _LANG_STOPWORDS
+
+    _stoplist = (
+        "[" + ", ".join(
+            repr(w) for w in sorted({w for sw in _LANG_STOPWORDS.values() for w in sw})
+        ) + "]"
+    )
     dist_pq = "sqrt((p.x-q.x)*(p.x-q.x) + (p.y-q.y)*(p.y-q.y))"
     knn_cte = f"""
 WITH pts AS ({_PTS_SQL}),
@@ -478,6 +486,10 @@ SELECT doc_id,
   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens_bpe,
+  CASE WHEN length(trim(text)) = 0 THEN 0.0
+       ELSE len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                w -> list_contains({STOPLIST}, lower(w))))
+            / len(regexp_split_to_array(trim(text), '\\s+')) END AS stopword_ratio,
   CASE WHEN length(text) > 0
        THEN (length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g'))) / length(text)
        ELSE 0.0 END AS alpha_ratio,
@@ -498,6 +510,7 @@ SELECT doc_id,
   AS quality_score
 FROM documents
 """
+    sql["text_stats"] = sql["text_stats"].replace("{STOPLIST}", _stoplist)
     sql["dedup_exact"] = """
 SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keep_id
 FROM documents GROUP BY md5(text)

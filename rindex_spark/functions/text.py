@@ -150,8 +150,18 @@ def with_text_stats(df, text_col: str = "text"):
         + F.lit(0.2) * F.least(F.lit(1.0), n_tokens / F.lit(100.0))
     )
     n_tokens_bpe = F.size(F.regexp_extract_all(t, F.lit(_BPE_TOKEN_RE), 0))
+    all_stop = sorted({w for sw in _LANG_STOPWORDS.values() for w in sw})
+    stop_arr = F.array(*[F.lit(w) for w in all_stop])
+    n_stop = F.size(
+        F.filter(
+            F.split(F.trim(t), r"\s+"),
+            lambda w: F.array_contains(stop_arr, F.lower(w)),
+        )
+    )
+    stopword_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0))
     return (
         df.withColumn("n_chars_calc", n_chars.cast("long"))
+        .withColumn("stopword_ratio", stopword_ratio.cast("double"))
         .withColumn("n_tokens", n_tokens.cast("long"))
         .withColumn("n_tokens_bpe", n_tokens_bpe.cast("long"))
         .withColumn("alpha_ratio", alpha_ratio.cast("double"))

@@ -114,6 +114,50 @@ def test_stream_ops_restart_with_new_files(spark, tmp_path):
     check_graph_vs_oracle(holder2["state"].graph.collect(), oracle)
 
 
+def test_stream_dedup_cross_batch(spark, tmp_path):
+    """Stateful streaming dedup: a text seen in batch 0 must NOT be
+    re-emitted by batch 1; within a batch the lowest doc_id survives."""
+    import os
+
+    from rindex_spark.streaming.dedup_stream import stream_dedup
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    batches = [
+        [(0, "alpha beta"), (1, "gamma delta"), (2, "alpha beta")],
+        [(3, "alpha beta"), (4, "epsilon zeta"), (5, "gamma delta"), (6, "eta theta")],
+    ]
+    base = 1_700_000_000
+    for i, rows in enumerate(batches):
+        p = d / f"docs_{i:03d}.json"
+        with open(p, "w") as f:
+            for doc_id, text in rows:
+                f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+        os.utime(p, (base + i * 10, base + i * 10))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    q = (
+        stream_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        r["doc_id"] for r in spark.sql("select doc_id from dedup_out").collect()
+    }
+    # alpha beta -> id 0 (batch 0, min of {0,2}; id 3 in batch 1 dropped)
+    # gamma delta -> id 1; epsilon zeta -> 4; eta theta -> 6
+    assert got == {0, 1, 4, 6}
+
+
 def test_streaming_window_counts(spark, tmp_path):
     pages = generate_pages(spark, 400, seed=2)
     src = str(tmp_path / "pages_src")
