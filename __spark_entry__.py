@@ -157,6 +157,18 @@ def _infer(spark, sf_dir):
     return infer_grid(_points(spark, sf_dir), EngineConfig(k=K))
 
 
+def q_point_lookup(spark, sf_dir):
+    """Reference op 9 `point_at` (rindex.rs:246-249): id -> coordinates;
+    a predicate-pushdown filter, batched here over a deterministic id
+    subset so the driver can hash-check it."""
+    return _points(spark, sf_dir).filter((F.col("id") % 37) == 0)
+
+
+def q_cardinality(spark, sf_dir):
+    """Reference op 11 `num_points` (rindex.rs:252-254)."""
+    return _points(spark, sf_dir).agg(F.count(F.lit(1)).alias("n_points"))
+
+
 def q_cell_stats(spark, sf_dir):
     pts = with_cells(_points(spark, sf_dir), _SPEC)
     return pts.groupBy("ix", "iy").agg(
@@ -320,6 +332,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "knn_query": q_knn_query,
         "rknn": q_rknn,
+        "point_lookup": q_point_lookup,
+        "cardinality": q_cardinality,
         "cell_stats": q_cell_stats,
         "dynamic_fold": q_dynamic_fold,
         "pip_tiles": q_pip_tiles,
@@ -411,6 +425,14 @@ qs AS (SELECT id AS qid, x + 1.5 AS x, y - 2.5 AS y FROM pts WHERE id % 53 = 0)
 SELECT q.qid, p.id, {dist_pq} AS dist
 FROM qs q, pts p JOIN kd ON p.id = kd.id
 WHERE {dist_pq} <= kd.knn_dist
+"""
+    sql["point_lookup"] = f"""
+WITH pts AS ({_PTS_SQL})
+SELECT id, x, y FROM pts WHERE id % 37 = 0
+"""
+    sql["cardinality"] = f"""
+WITH pts AS ({_PTS_SQL})
+SELECT count(*) AS n_points FROM pts
 """
     sql["cell_stats"] = f"""
 WITH pts AS ({_PTS_SQL}),
