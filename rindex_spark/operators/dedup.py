@@ -318,8 +318,9 @@ def minhash_lsh_pairs(
         ).alias("bb"),
     ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     # materialize once: the bucket self-join would otherwise evaluate
-    # the signature UDF twice
-    banded = banded_raw.localCheckpoint(eager=True)
+    # the signature UDF twice.  persist (not eager localCheckpoint):
+    # the join's own execution materializes it — no separate job.
+    banded = banded_raw.persist()
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -339,7 +340,7 @@ def minhash_lsh_pairs(
     sh = (
         with_shingles(df.select(F.col(id_col).alias("doc"), F.col(text_col)), text_col, n)
         .select("doc", "shingles")
-        .localCheckpoint(eager=True)
+        .persist()
     )
     verified = (
         cand.join(sh.withColumnRenamed("doc", "doc_a").withColumnRenamed("shingles", "sh_a"), "doc_a")
