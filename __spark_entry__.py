@@ -251,6 +251,25 @@ def q_text_stats(spark, sf_dir):
     )
 
 
+def q_corpus_filter(spark, sf_dir):
+    """The COMPOSED training-data pipeline in one Catalyst plan:
+    exact-dedup survivors ∩ language filter ∩ quality gates — the query
+    a 100 TB corpus build actually runs (filter pushdown + one hash
+    aggregate + column expressions; no UDFs anywhere)."""
+    d = _docs(spark, sf_dir)
+    stats = with_text_stats(d).withColumn("lang_pred", lang_id(F.col("text")))
+    keep = dedup_exact(d).select(F.col("keep_id").alias("doc_id"))
+    return (
+        stats.join(keep, "doc_id", "left_semi")
+        .filter(
+            (F.col("lang_pred") == "en")
+            & (F.col("quality_score") >= 0.5)
+            & (F.col("n_tokens") >= 20)
+        )
+        .select("doc_id", "n_tokens", "quality_score")
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     return dedup_exact(_docs(spark, sf_dir))
 
@@ -341,6 +360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_vector": q_raster_vector,
         "polygon_raster": q_polygon_raster,
         "text_stats": q_text_stats,
+        "corpus_filter": q_corpus_filter,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine": q_ann_cosine,
@@ -533,6 +553,16 @@ SELECT doc_id,
 FROM documents
 """
     sql["text_stats"] = sql["text_stats"].replace("{STOPLIST}", _stoplist)
+    sql["corpus_filter"] = f"""
+WITH s AS ({sql["text_stats"]}),
+l AS ({{LANG_SQL}}),
+k AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+SELECT s.doc_id, s.n_tokens, s.quality_score
+FROM s
+JOIN l ON l.doc_id = s.doc_id
+JOIN k ON k.doc_id = s.doc_id
+WHERE l.lang_pred = 'en' AND s.quality_score >= 0.5 AND s.n_tokens >= 20
+"""
     sql["dedup_exact"] = """
 SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keep_id
 FROM documents GROUP BY md5(text)
@@ -603,6 +633,7 @@ SELECT doc_id,
        CASE WHEN {_g} <= 0 THEN 'und' {_case} ELSE 'und' END AS lang_pred
 FROM s
 """
+    sql["corpus_filter"] = sql["corpus_filter"].replace("{LANG_SQL}", sql["lang_detect"])
     sql["multimodal_features"] = """
 WITH m AS (SELECT unnest(generate_series(0, 199)) AS media_id),
 j AS (SELECT unnest(generate_series(0, 63)) AS pos),

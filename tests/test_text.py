@@ -62,6 +62,31 @@ def test_lang_id_on_stopword_text(spark):
     assert got == {0: "en", 1: "de", 2: "fr", 3: "es", 4: "und"}
 
 
+def test_lang_id_accuracy_on_labeled_noise(spark):
+    """Labeled accuracy floor: deterministic synthetic texts mixing
+    each language's stopwords with non-stopword noise at 3:5 ratio must
+    classify >= 95% correctly (the heuristic's operating regime: real
+    prose carries far denser stopword signal than this)."""
+    import numpy as np
+
+    from rindex_spark.functions.text import _LANG_STOPWORDS
+
+    rng = np.random.default_rng(31)
+    noise = [f"zq{i}" for i in range(40)]
+    rows = []
+    langs = list(_LANG_STOPWORDS)
+    for i in range(400):
+        lang = langs[i % 4]
+        sw = list(_LANG_STOPWORDS[lang])
+        toks = list(rng.choice(sw, size=3)) + list(rng.choice(noise, size=5))
+        rng.shuffle(toks)
+        rows.append((i, lang, " ".join(toks)))
+    df = spark.createDataFrame(rows, "id long, lang string, text string")
+    got = df.select("lang", lang_id("text").alias("pred")).collect()
+    acc = sum(1 for r in got if r["lang"] == r["pred"]) / len(got)
+    assert acc >= 0.95, f"lang_id accuracy {acc:.3f} < 0.95"
+
+
 def test_text_stats_columns(spark):
     df = spark.createDataFrame(
         [(0, "Hello world, 42 times!"), (1, ""), (2, "   ")],
