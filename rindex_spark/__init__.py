@@ -18,17 +18,29 @@ Public surface (reference parity, SURVEY.md §2):
   - apply_ops_batches                  (insert/delete, rindex.rs:92-135)
 plus the training-data pipeline layer: dedup (exact / minhash-LSH /
 simhash / n-gram jaccard / embedding), ANN search, text analysis,
-multimodal plumbing, tiling (point-in-polygon).
+multimodal plumbing, tiling (point-in-polygon), raster<->vector.
 """
 
 from rindex_spark.config import EngineConfig, GridSpec
 from rindex_spark.grid import infer_grid
+from rindex_spark.operators.ann import cosine_topk, embedding_near_dup, lsh_cosine_topk
+from rindex_spark.operators.dedup import (
+    dedup_exact,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
 from rindex_spark.operators.knn import build_knn_graph, knn_for_queries
 from rindex_spark.operators.range_query import range_join
+from rindex_spark.operators.raster import (
+    raster_to_cells_vector,
+    rasterize_points,
+    rasterize_polygons,
+)
 from rindex_spark.operators.rknn import reverse_knn
 from rindex_spark.operators.stats import cell_stats, index_stats, knn_dist_of, neighbors_of
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "EngineConfig",
@@ -42,5 +54,15 @@ __all__ = [
     "index_stats",
     "knn_dist_of",
     "neighbors_of",
+    "cosine_topk",
+    "lsh_cosine_topk",
+    "embedding_near_dup",
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "simhash_pairs",
+    "rasterize_points",
+    "raster_to_cells_vector",
+    "rasterize_polygons",
     "__version__",
 ]
