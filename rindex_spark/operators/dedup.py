@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, LongType
+from pyspark.storagelevel import StorageLevel
 
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact duplicate groups: (text_hash, n_docs, keep_id) — keep the
@@ -104,7 +105,7 @@ def ngram_jaccard_pairs(
         # sides: without persist the shingle transform and everything
         # under it re-executes once per reference (measured 80s vs 8s
         # on the 5k-doc skew bench)
-        .persist()
+        .persist(StorageLevel.MEMORY_ONLY)
     )
     inv = sh.select("doc", F.explode("shingles").alias("shingle"))
     if max_df is not None:
@@ -114,7 +115,7 @@ def ngram_jaccard_pairs(
             .filter(F.col("count") > max_df)
             .select("shingle")
         )
-        inv = inv.join(F.broadcast(hot), "shingle", "left_anti").persist()
+        inv = inv.join(F.broadcast(hot), "shingle", "left_anti").persist(StorageLevel.MEMORY_ONLY)
         # counts straight off the capped index: n_inter_capped is a
         # LOWER bound on the true intersection; a doc's true hot-shingle
         # count h = sh_size - its non-hot count, so
@@ -320,7 +321,7 @@ def minhash_lsh_pairs(
     # materialize once: the bucket self-join would otherwise evaluate
     # the signature UDF twice.  persist (not eager localCheckpoint):
     # the join's own execution materializes it — no separate job.
-    banded = banded_raw.persist()
+    banded = banded_raw.persist(StorageLevel.MEMORY_ONLY)
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -340,7 +341,7 @@ def minhash_lsh_pairs(
     sh = (
         with_shingles(df.select(F.col(id_col).alias("doc"), F.col(text_col)), text_col, n)
         .select("doc", "shingles")
-        .persist()
+        .persist(StorageLevel.MEMORY_ONLY)
     )
     verified = (
         cand.join(sh.withColumnRenamed("doc", "doc_a").withColumnRenamed("shingles", "sh_a"), "doc_a")

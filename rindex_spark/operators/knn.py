@@ -56,6 +56,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from rindex_spark.config import EngineConfig, GridSpec
 from rindex_spark.grid import ring_lower_bound, with_cells
@@ -766,7 +767,7 @@ def knn_for_queries(
             .groupBy("bkt")
             .cogroup(cand.withColumn("bkt", c_bkt).groupBy("bkt"))
             .applyInPandas(round_udf, schema=state_schema)
-            .persist()
+            .persist(StorageLevel.MEMORY_ONLY)
         )
 
         lb = ring_lower_bound(
