@@ -85,11 +85,37 @@ def cosine_topk(
         # (score desc, id asc)-sorted arrays
         best_s = [None] * nq
         best_i = [None] * nq
+        dim = b_qmn.shape[1]
         for b in batches:
             ids = b["neighbor_id"].to_numpy(dtype=np.int64)
-            cm = np.array([np.asarray(v, dtype=np.float64) for v in b["_cv"]])
-            if cm.ndim != 2 or not len(ids):
+            if not len(ids):
                 continue
+            # null / ragged embeddings must not silently drop the whole
+            # Arrow batch (r2 advisor): keep the well-formed rows in the
+            # matmul and score the bad rows -1.0, matching the crossjoin
+            # fallback's guarded expression (null/zero-norm -> -1.0).
+            vecs = [np.asarray(v, dtype=np.float64) if v is not None else None for v in b["_cv"]]
+            good = np.array(
+                [v is not None and v.ndim == 1 and len(v) == dim for v in vecs]
+            )
+            if not good.all():
+                bad_ids = ids[~good]
+                ids = ids[good]
+                vecs = [v for v, g in zip(vecs, good) if g]
+                for bid in bad_ids:  # score -1.0 against every query
+                    for qj in range(nq):
+                        if not include_self and bid == b_qids[qj]:
+                            continue
+                        cs_ = np.array([-1.0])
+                        ci_ = np.array([bid], dtype=np.int64)
+                        if best_s[qj] is not None:
+                            cs_ = np.concatenate([best_s[qj], cs_])
+                            ci_ = np.concatenate([best_i[qj], ci_])
+                        o = np.lexsort((ci_, -cs_))[:k]
+                        best_s[qj], best_i[qj] = cs_[o], ci_[o]
+                if not len(ids):
+                    continue
+            cm = np.vstack(vecs)
             cnorm = np.sqrt((cm * cm).sum(axis=1))
             cok = cnorm > 0
             cmn = np.where(cok[:, None], cm / np.where(cok, cnorm, 1.0)[:, None], 0.0)

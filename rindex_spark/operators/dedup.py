@@ -76,7 +76,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_df: int | None = 10_000,
+    max_df: int | None = None,
 ) -> DataFrame:
     """n-gram Jaccard similarity join: all pairs (a, b), a < b, with
     |shingles(a) ∩ shingles(b)| / |union| >= threshold.
@@ -84,18 +84,19 @@ def ngram_jaccard_pairs(
     Inverted-index decomposition: explode distinct shingles, self-join
     on shingle for candidate pairs; Jaccard scores are ALWAYS exact.
 
-    ``max_df`` (the boilerplate skew guard — ON by default) drops
-    shingles appearing in more than max_df docs from the candidate
-    index: a single hot shingle contributes df² candidate pairs, so at
-    web scale one boilerplate sentence is a cartesian bomb.  With the
-    guard on, candidate pairs are verified with an exact
-    array_intersect over the FULL shingle sets, so reported scores stay
-    exact; the only approximation is RECALL, and only for pairs whose
-    EVERY shared shingle exceeds max_df — vanishingly rare for real
-    near-duplicates below web-boilerplate frequency.  Pass
-    ``max_df=None`` for unconditionally exact semantics (the
-    intersection counts then come straight off the index join — no
-    second pass over the shingle arrays).
+    ``max_df`` (the boilerplate skew guard — an EXPLICIT opt-in; the
+    default None keeps the documented exact-recall semantics, so no
+    caller silently loses pairs) drops shingles appearing in more than
+    max_df docs from the candidate index: a single hot shingle
+    contributes df² candidate pairs, so at web scale one boilerplate
+    sentence is a cartesian bomb — at 100 TB you WANT this on (e.g.
+    max_df=10_000).  With the guard on, candidate pairs are verified
+    with an exact array_intersect over the FULL shingle sets, so
+    reported scores stay exact; the only approximation is RECALL, and
+    only for pairs whose EVERY shared shingle exceeds max_df —
+    vanishingly rare for real near-duplicates below web-boilerplate
+    frequency.  With max_df=None the intersection counts come straight
+    off the index join — no second pass over the shingle arrays.
     """
     sh = (
         with_shingles(df.select(F.col(id_col).alias("doc"), F.col(text_col)), text_col, n)

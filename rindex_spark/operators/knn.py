@@ -760,8 +760,12 @@ def knn_for_queries(
         # as the materializer, saving one job per round — measured 6.7s
         # -> 3.8s for the 100k self-graph at local[32].  Lineage stays
         # intact (rounds are few, plans stay shallow); the cp alias on
-        # pts already disambiguates the self-join.  MEMORY_AND_DISK
-        # eviction spills instead of recomputing.
+        # pts already disambiguates the self-join.  MEMORY_ONLY is
+        # deliberate (f14cfce): finished_parts keep referencing every
+        # round's state until the caller consumes the output, so
+        # MEMORY_AND_DISK would accumulate disk blocks across a long
+        # session; under memory pressure eviction recomputes a
+        # deterministic lineage instead (bounded: rounds are few).
         state = (
             frontier.withColumn("bkt", q_bkt)
             .groupBy("bkt")

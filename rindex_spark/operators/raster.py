@@ -111,23 +111,39 @@ def rasterize_polygons(
     vertex rings reduce to half-plane tests in the same shape; the
     parametric forms keep the DuckDB oracle a one-liner.
 
-    Plan: per polygon, explode ONLY its bbox cover (bounded by
-    ``extent_cells`` per axis as a safety rail), then filter by the
-    center test.  The polygon table broadcasts; points are never
+    Plan: per polygon, explode ONLY its bbox cover; a polygon whose
+    bbox cover exceeds ``extent_cells`` cells per axis RAISES (r2
+    advisor: silent truncation returned an incomplete raster) — raise
+    the rail or coarsen the grid for continent-scale shapes.  Degenerate
+    polygons (r < 0) yield an empty cover instead of a descending
+    ``sequence``.  The polygon table broadcasts; points are never
     touched."""
     cs = spec.cell_size
+    polygons = polygons.filter(F.col("r") >= 0)
     lo_ix = F.floor((F.col("cx") - F.col("r") - F.lit(spec.x0)) / F.lit(cs)).cast("long")
     hi_ix = F.floor((F.col("cx") + F.col("r") - F.lit(spec.x0)) / F.lit(cs)).cast("long")
     lo_iy = F.floor((F.col("cy") - F.col("r") - F.lit(spec.y0)) / F.lit(cs)).cast("long")
     hi_iy = F.floor((F.col("cy") + F.col("r") - F.lit(spec.y0)) / F.lit(cs)).cast("long")
-    bounded = polygons.withColumn(
+    over = (hi_ix - lo_ix > F.lit(extent_cells)) | (hi_iy - lo_iy > F.lit(extent_cells))
+    guard = F.when(
+        over,
+        F.raise_error(
+            F.concat(
+                F.lit("rasterize_polygons: bbox cover of poly_id="),
+                F.col("poly_id").cast("string"),
+                F.lit(f" exceeds extent_cells={extent_cells} per axis; "
+                      "raise extent_cells or coarsen the grid"),
+            )
+        ).cast("boolean"),
+    ).otherwise(F.lit(True))
+    bounded = polygons.filter(guard).withColumn(
         "_lo_ix", lo_ix
     ).withColumn(
-        "_hi_ix", F.least(hi_ix, lo_ix + F.lit(extent_cells))
+        "_hi_ix", hi_ix
     ).withColumn(
         "_lo_iy", lo_iy
     ).withColumn(
-        "_hi_iy", F.least(hi_iy, lo_iy + F.lit(extent_cells))
+        "_hi_iy", hi_iy
     )
     cells = bounded.withColumn(
         "ix", F.explode(F.sequence(F.col("_lo_ix"), F.col("_hi_ix")))

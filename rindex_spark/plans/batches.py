@@ -234,6 +234,35 @@ def fold_chunk(chunk) -> tuple[list[tuple], list[tuple[int]]]:
     return list(ins.values()), dels
 
 
+def slice_ops(ops: DataFrame, batch_size: int | None):
+    """Assign batch ids ARITHMETICALLY: ``_batch = floor((seq - min)/bs)``.
+
+    No window, no global sort, no single-partition exchange (the r2
+    plan-shape risk: ``Window.orderBy("seq")`` with no partitionBy
+    funnels the whole op stream through one task).  Pure arithmetic is
+    correct for ANY distinct seq values — batch boundaries always
+    respect seq order; only batch SIZES become irregular when seqs are
+    sparse (dense seqs, the generator contract, give exactly batch_size
+    ops per batch).
+
+    Returns (sliced_df_with__batch, n_batches, n_ops); (None, 0, 0) for
+    an empty stream."""
+    row = ops.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("seq").alias("lo"),
+        F.max("seq").alias("hi"),
+    ).collect()[0]
+    n_ops = row["n"]
+    if not n_ops:
+        return None, 0, 0
+    bs = batch_size or int(row["hi"] - row["lo"] + 1)
+    sliced = ops.withColumn(
+        "_batch", F.floor((F.col("seq") - F.lit(int(row["lo"]))) / F.lit(bs)).cast("long")
+    )
+    n_batches = int((row["hi"] - row["lo"]) // bs) + 1
+    return sliced, n_batches, n_ops
+
+
 def apply_ops_batches(
     spark,
     ops: DataFrame,
@@ -258,19 +287,13 @@ def apply_ops_batches(
 
     from rindex_spark.plans.checkpoint import BatchCheckpointer, ops_fingerprint
 
-    # distributed batch slicing (r1 verdict item 7): the stream is NEVER
-    # collected whole — batch ids come from a window over seq and only
-    # ONE batch's rows ever sit on the driver at a time.
-    n_ops = ops.count()
+    # distributed batch slicing: the stream is NEVER collected whole —
+    # batch ids are arithmetic on seq (slice_ops; no window, no global
+    # sort) and only ONE batch's rows ever sit on the driver at a time
+    # (bounded by batch_size).
+    sliced, n_batches, n_ops = slice_ops(ops, batch_size)
     if n_ops == 0:
         return empty_state(spark, k)
-    bs = batch_size or n_ops
-    w = Window.orderBy("seq")
-    sliced = (
-        ops.withColumn("_batch", ((F.row_number().over(w) - 1) / F.lit(bs)).cast("long"))
-        .localCheckpoint(eager=True)
-    )
-    n_batches = (n_ops + bs - 1) // bs
 
     ckpt = BatchCheckpointer(checkpoint_dir or tempfile.mkdtemp(prefix="rindex_ops_"))
     state: IndexState | None = None

@@ -52,7 +52,13 @@ def stream_ops(
     Ordering contract: deletes may reference ids from earlier files, so
     the feed must arrive in sequence — Spark's FileStreamSource orders
     pending files by MODIFICATION TIME, so producers must write files
-    with monotonic mtimes (normal for append-style feeds)."""
+    with monotonic mtimes (normal for append-style feeds).
+
+    Retention contract: ``stream_checkpoint_dir`` (Spark's epoch
+    ledger) and ``state_dir`` (our committed states) must be retained
+    or wiped TOGETHER; resetting one alone restarts/keeps epoch ids
+    inconsistently and the fold raises on the fingerprint mismatch
+    rather than double-applying ops."""
     ckpt = BatchCheckpointer(state_dir)
     # restart recovery (r1 advisor, high): after a CLEAN shutdown Spark
     # does not re-deliver committed epochs, so starting from empty_state
@@ -73,11 +79,24 @@ def stream_ops(
         ins_rows, del_rows = fold_chunk(rows)
         fp = ops_fingerprint(ins_rows, del_rows)
         m = ckpt.read_manifest(epoch_id)
-        if m is not None and m.get("status") == "ok" and m.get("ops_fingerprint") == fp:
-            # epoch replay after restart: state already committed
-            pts, g = ckpt.load(spark, epoch_id)
-            holder["state"] = IndexState(points=pts, graph=g, k=k)
-            return
+        if m is not None and m.get("status") == "ok":
+            if m.get("ops_fingerprint") == fp:
+                # epoch replay after restart: state already committed
+                pts, g = ckpt.load(spark, epoch_id)
+                holder["state"] = IndexState(points=pts, graph=g, k=k)
+                return
+            # committed epoch id, DIFFERENT ops: the stream checkpoint
+            # dir and the state dir are out of sync (one was reset
+            # without the other, so epoch ids restarted) — applying
+            # would silently double-fold ops onto the resumed state
+            # (r2 advisor).  The two directories must be retained or
+            # wiped TOGETHER.
+            raise RuntimeError(
+                f"stream_ops: epoch {epoch_id} is already committed in "
+                f"{state_dir!r} with a different ops fingerprint — "
+                "stream_checkpoint_dir and state_dir are out of sync; "
+                "retain or wipe them together, then restart."
+            )
         state = apply_batch(
             holder["state"],
             spark.createDataFrame(ins_rows or [], POINTS_SCHEMA),

@@ -85,6 +85,40 @@ def test_incremental_equals_rebuild_checkpoints(spark):
         check_state(state, live_set(rows[: i + bs]), k)
 
 
+def test_batch_slicing_is_arithmetic_no_window(spark):
+    """The op-stream slicer must not contain a global window (a
+    single-partition exchange at 10^9-op streams — the r2 plan-shape
+    risk).  Batch ids are pure arithmetic on seq, and sparse seqs still
+    slice in seq order."""
+    from rindex_spark.plans.batches import slice_ops
+
+    rows = generate_ops(100, seed=7)
+    ops = spark.createDataFrame(
+        rows, "seq long, op string, id long, x double, y double"
+    )
+    sliced, n_batches, n_ops = slice_ops(ops, 16)
+    plan = sliced._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "Sort" not in plan
+    assert n_ops == 100 and n_batches == 7
+    got = {r["seq"]: r["_batch"] for r in sliced.collect()}
+    assert got == {s: s // 16 for s in range(100)}
+
+    # sparse seqs: boundaries still respect seq order
+    sparse = spark.createDataFrame(
+        [(s * 10, "insert", s, 0.0, 0.0) for s in range(20)],
+        "seq long, op string, id long, x double, y double",
+    )
+    sliced2, nb2, n2 = slice_ops(sparse, 50)
+    assert n2 == 20 and nb2 == (190 // 50) + 1
+    rows2 = sliced2.collect()
+    by_batch: dict[int, list[int]] = {}
+    for r in rows2:
+        by_batch.setdefault(r["_batch"], []).append(r["seq"])
+    batches = [sorted(v) for _, v in sorted(by_batch.items())]
+    flat = [s for b in batches for s in b]
+    assert flat == sorted(flat)
+
+
 def test_delete_everything_then_reinsert(spark):
     k = 3
     pts = [(i, float(i), 0.0) for i in range(6)]

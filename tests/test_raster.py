@@ -87,3 +87,25 @@ def test_rasterize_polygons_center_rule(spark):
                 if inside:
                     exp.add((pid, int(ix), int(iy)))
     assert got == exp and len(exp) > 10
+
+
+def test_rasterize_polygons_guards(spark):
+    """Degenerate (r < 0) polygons yield an EMPTY cover (not a
+    descending sequence), and a bbox cover exceeding extent_cells
+    RAISES instead of silently truncating the raster (r2 advisor)."""
+    import pytest
+
+    neg = spark.createDataFrame(
+        [(0, 0.0, 0.0, -5.0, "box")],
+        "poly_id long, cx double, cy double, r double, kind string",
+    )
+    assert rasterize_polygons(neg, SPEC).count() == 0
+
+    huge = spark.createDataFrame(
+        [(1, 0.0, 0.0, 100.0, "box")],
+        "poly_id long, cx double, cy double, r double, kind string",
+    )
+    with pytest.raises(Exception, match="extent_cells"):
+        rasterize_polygons(huge, SPEC, extent_cells=4).count()
+    # same polygon passes with a sufficient rail
+    assert rasterize_polygons(huge, SPEC, extent_cells=64).count() > 0
