@@ -48,18 +48,40 @@ def range_join(
         y="qy",
         prefix="q",
     )
-    # covering Chebyshev radius: any point within `radius` of q lies in a
-    # cell at most ceil(r/cs) away from q's cell.
+    # Extent-scale radius guard (r2 verdict): the covering block of an
+    # unconditioned explode is (2*ceil(r/cs)+1)^2 cells per query — a
+    # radius comparable to the extent on a fine grid generates 1e4-1e5
+    # cell rows per query for a join that ultimately scans everything
+    # anyway.  One tiny agg yields the data span in cells; queries whose
+    # covering block would blanket the extent take a broadcast-queries
+    # scan of the points instead (queries are the dimension side by
+    # contract), everyone else takes the exploded equi-join.
+    span = pts.agg(
+        F.min("ix").alias("x_lo"), F.max("ix").alias("x_hi"),
+        F.min("iy").alias("y_lo"), F.max("iy").alias("y_hi"),
+    ).collect()[0]
+    if span["x_lo"] is None:
+        return points.sparkSession.createDataFrame([], "qid long, id long, dist double")
+    span_cells = int(
+        max(span["x_hi"] - span["x_lo"], span["y_hi"] - span["y_lo"])
+    ) + 1
     rad_cells = F.ceil(F.col("radius") / F.lit(spec.cell_size))
-    cand_cells = explode_block(q, rad_cells)
+    dist = euclidean(F.col("qx"), F.col("qy"), F.col("x"), F.col("y"))
+
+    small = q.filter(rad_cells < F.lit(span_cells))
+    big = q.filter(rad_cells >= F.lit(span_cells)).select("qid", "qx", "qy", "radius")
+
+    cand_cells = explode_block(small, rad_cells)
     joined = cand_cells.join(
         pts,
         (F.col("cix") == F.col("ix")) & (F.col("ciy") == F.col("iy")),
         "inner",
+    ).select("qid", "id", dist.alias("dist"), "radius")
+    scan = pts.join(F.broadcast(big)).select(
+        "qid", "id", dist.alias("dist"), "radius"
     )
-    dist = euclidean(F.col("qx"), F.col("qy"), F.col("x"), F.col("y"))
     return (
-        joined.select("qid", "id", dist.alias("dist"), "radius")
+        joined.unionByName(scan)
         .filter(F.col("dist") <= F.col("radius"))
         .select("qid", "id", "dist")
         .orderBy("qid", "dist", "id")

@@ -6,24 +6,30 @@ Semantics: all points p with ``dist(p, q) <= knn_dist_of(p)``
 
 Distributed shape: with the kNN graph materialized, RkNN is a join +
 filter — no recursion.  Pruning reuses the reference's RdNN ``bound``
-aggregate (sphere.rs:10): a per-cell ``max_knn_dist`` stats table.  A
-cell can contain a reverse neighbor of q only if
-``cell_min_dist(cell, q) <= cell.max_knn_dist`` (exactly the descent
-test at rindex.rs:826-829).  The stats table is tiny (one row per
-occupied cell) so the prune is a broadcast theta-join; the surviving
-(query, cell) pairs equi-join the points, then the exact row-level
-refine ``dist <= knn_dist`` (rindex.rs:817-822) runs as a column
-expression.
+aggregate (sphere.rs:10): a per-cell ``max_knn_dist`` stats table, and
+the descent test ``cell_min_dist(cell, q) <= cell.max_knn_dist``
+(rindex.rs:826-829) as a filter.  Candidate (query, cell) pairs come
+from an EQUI-join: each query explodes its covering block dilated by
+the GLOBAL max knn_dist in cells (r2 verdict: the former
+queries x all-cells broadcast nested-loop evaluates |q| x |cells|
+pairs — at 100x scale the stats table is n/32 rows and the BNLJ cost
+is quadratic-ish).  The theta/BNLJ prune survives only as the fallback
+for the cases where the block would blanket the grid anyway (global
+bound infinite — some point has < k neighbors — or extent-scale
+bounds).  The surviving pairs equi-join the points, then the exact
+row-level refine ``dist <= knn_dist`` (rindex.rs:817-822) runs as a
+column expression.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from rindex_spark.config import GridSpec
 from rindex_spark.functions.distance import euclidean
-from rindex_spark.grid import cell_min_dist, with_cells
+from rindex_spark.grid import cell_min_dist, explode_block, with_cells
 from rindex_spark.operators.stats import knn_dist
 
 
@@ -57,15 +63,47 @@ def reverse_knn(
         .agg(F.max("knn_dist").alias("max_knn_dist"))
         .withColumnRenamed("ix", "cix")
         .withColumnRenamed("iy", "ciy")
+        .persist(StorageLevel.MEMORY_ONLY)
     )
+    import math
+
+    srow = stats.agg(
+        F.max("max_knn_dist").alias("gmax"), F.count(F.lit(1)).alias("n_cells")
+    ).collect()[0]
+    gmax, n_cells = srow["gmax"], srow["n_cells"]
+    if not n_cells:
+        return spark.createDataFrame([], "qid long, id long, dist double")
 
     q = queries.select("qid", F.col("x").alias("qx"), F.col("y").alias("qy"))
-    # broadcast theta-join: |cells| << |points|; the reference's subtree
-    # skip `min_distance(q) > bound` (rindex.rs:826-829) becomes a filter.
-    cand_cells = q.join(F.broadcast(stats)).filter(
-        cell_min_dist(spec, F.col("cix"), F.col("ciy"), F.col("qx"), F.col("qy"))
-        <= F.col("max_knn_dist")
+    # covering radius in cells: a cell at Chebyshev cell-distance c from
+    # the query's cell is at Euclidean distance > (c-1)*cs, so every
+    # cell passing the min_dist <= gmax prune has c <= gmax/cs + 1.
+    rb = (
+        int(math.floor(gmax / spec.cell_size)) + 2
+        if gmax is not None and math.isfinite(gmax)
+        else None
     )
+    if rb is not None and (2 * rb + 1) ** 2 <= n_cells:
+        # equi-join path: explode each query's dilated covering block,
+        # hash-join the (tiny) stats table, cell-level prune as filter
+        qc = with_cells(q, spec, x="qx", y="qy", prefix="q")
+        cand_cells = (
+            explode_block(qc, F.lit(rb))
+            .join(stats, ["cix", "ciy"], "inner")
+            .filter(
+                cell_min_dist(spec, F.col("cix"), F.col("ciy"), F.col("qx"), F.col("qy"))
+                <= F.col("max_knn_dist")
+            )
+            .drop("qix", "qiy")
+        )
+    else:
+        # fallback: the block would blanket the grid (some point has
+        # < k neighbors => gmax = inf, or bounds are extent-scale), so
+        # scanning all occupied cells per query is the cheaper plan.
+        cand_cells = q.join(F.broadcast(stats)).filter(
+            cell_min_dist(spec, F.col("cix"), F.col("ciy"), F.col("qx"), F.col("qy"))
+            <= F.col("max_knn_dist")
+        )
 
     joined = cand_cells.join(
         pts,

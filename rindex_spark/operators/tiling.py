@@ -65,18 +65,32 @@ def assign_tiles(
     """
     spark = points.sparkSession
     cs = spec.cell_size
-    cell_rows = []
+    # the (cell, tile) map is built DISTRIBUTED (r2 verdict item 5): the
+    # driver holds one bbox row per tile; the per-cell fan-out happens
+    # in explode(sequence(...)) on executors — a fine grid x wide tiles
+    # would OOM a driver-side double loop (the map is |tiles| x
+    # (bbox/cs)^2 entries), while the bbox table is always tile-scale.
+    bbox_rows = []
     for tid, verts in tiles:
         vx = [v[0] for v in verts]
         vy = [v[1] for v in verts]
-        ix0 = math.floor((min(vx) - spec.x0) / cs)
-        ix1 = math.floor((max(vx) - spec.x0) / cs)
-        iy0 = math.floor((min(vy) - spec.y0) / cs)
-        iy1 = math.floor((max(vy) - spec.y0) / cs)
-        for ix in range(ix0, ix1 + 1):
-            for iy in range(iy0, iy1 + 1):
-                cell_rows.append((ix, iy, tid))
-    cell_map = spark.createDataFrame(cell_rows, "cix long, ciy long, tile_id long")
+        bbox_rows.append(
+            (
+                tid,
+                math.floor((min(vx) - spec.x0) / cs),
+                math.floor((max(vx) - spec.x0) / cs),
+                math.floor((min(vy) - spec.y0) / cs),
+                math.floor((max(vy) - spec.y0) / cs),
+            )
+        )
+    bbox = spark.createDataFrame(
+        bbox_rows, "tile_id long, ix0 long, ix1 long, iy0 long, iy1 long"
+    )
+    cell_map = (
+        bbox.withColumn("cix", F.explode(F.sequence(F.col("ix0"), F.col("ix1"))))
+        .withColumn("ciy", F.explode(F.sequence(F.col("iy0"), F.col("iy1"))))
+        .select("cix", "ciy", "tile_id")
+    )
 
     pts = with_cells(points.select("id", "x", "y"), spec)
     cand = pts.join(

@@ -172,6 +172,68 @@ def test_rknn_vs_bruteforce(spark):
         assert by_q.get(qi, set()) == exp
 
 
+def test_rknn_plan_is_equijoin_not_bnlj(spark):
+    """With a finite global max_knn_dist, the cell prune must be a
+    covering-block EQUI-join — at 100x scale the stats table is n/32
+    rows and a queries x cells broadcast nested loop is quadratic (r2
+    verdict item 6).  The BNLJ survives only as the blanket-the-grid
+    fallback (gmax = inf / extent-scale bounds)."""
+    rng = np.random.default_rng(13)
+    coords = rng.uniform(-100.0, 100.0, size=(400, 2))
+    k = 8
+    pts = make_points(spark, coords).cache()
+    # fine explicit grid so the covering block beats scanning all cells
+    # ((2rb+1)^2 <= n_cells); coarse grids legitimately take the fallback
+    spec = GridSpec(cell_size=4.0, x0=-100.0, y0=-100.0)
+    graph = build_knn_graph(pts, k, spec=spec).cache()
+    q = spark.createDataFrame(
+        [(i, float(x), float(y)) for i, (x, y) in enumerate(coords[::7] + 0.3)],
+        "qid long, x double, y double",
+    )
+    res = reverse_knn(pts, graph, q, k, spec=spec)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # and the equi-join result must equal the brute-force answer
+    got: dict[int, set] = {}
+    for r in res.collect():
+        got.setdefault(r["qid"], set()).add(r["id"])
+    oracle = brute_knn(coords, np.arange(len(coords)), k)
+    qpts = coords[::7] + 0.3
+    for qi, qp in enumerate(qpts):
+        exp = set()
+        for pid, nbrs in oracle.items():
+            kth = nbrs[-1][0] if len(nbrs) == k else float("inf")
+            if math.dist(coords[pid], qp) <= kth:
+                exp.add(pid)
+        assert got.get(qi, set()) == exp, f"query {qi}"
+
+
+def test_range_join_extent_scale_radius(spark):
+    """A radius comparable to the extent on a FINE grid must not
+    explode (2*ceil(r/cs)+1)^2 covering cells per query (r2 verdict
+    item 7): extent-scale queries take the broadcast-scan path and the
+    result stays exact."""
+    rng = np.random.default_rng(17)
+    coords = rng.uniform(-100.0, 100.0, size=(300, 2))
+    pts = make_points(spark, coords).cache()
+    # fine grid: 0.05 cells over a 200-wide extent = 4000 cells/axis;
+    # the old unconditioned explode would generate ~(2*20000+1)^2 cell
+    # rows per big query — this call would not return
+    spec = GridSpec(cell_size=0.05, x0=-100.0, y0=-100.0)
+    q = spark.createDataFrame(
+        [(0, 0.0, 0.0, 1000.0), (1, 50.0, -50.0, 3.0)],
+        "qid long, x double, y double, radius double",
+    )
+    rows = range_join(pts, q, spec=spec).collect()
+    big = sorted(r["id"] for r in rows if r["qid"] == 0)
+    assert big == list(range(300))  # covers everything, exactly once
+    small = {r["id"] for r in rows if r["qid"] == 1}
+    exp_small = {
+        i for i, c in enumerate(coords) if math.dist(c, (50.0, -50.0)) <= 3.0
+    }
+    assert small == exp_small
+
+
 def test_knn_queries_far_outside_extent(spark):
     # a query far from the data must still be exact (ring backstop)
     coords = [(float(i % 10), float(i // 10)) for i in range(100)]
