@@ -8,9 +8,12 @@
                    Spark and DuckDB compute bit-identical doubles; all
                    float expressions mirror the engine's IEEE op order
                    exactly.
-Ops that are not SQL-expressible (LSH/minhash/simhash signatures,
-language ID, multimodal decode) have queries() entries without oracles
-(driver records rows-only checks).
+EVERY queries() key has an oracle.  The probabilistic ops (MinHash /
+SimHash / hyperplane LSH) get CONSTRUCT-POSITIVE oracles: the driver
+query plants exact twins whose capture probability is 1, so the output
+collapses to an SQL-expressible exact pair set; the probabilistic
+general paths are covered by recall/exactness floors in pytest
+(tests/test_lsh_recall.py).
 """
 
 from __future__ import annotations
@@ -298,19 +301,55 @@ def q_fingerprint(spark, sf_dir):
 
 
 def q_minhash_pairs(spark, sf_dir):
-    return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.2)
+    """Construct-positive oracle (the embedding_near_dup trick): corpus
+    = documents ∪ an id-shifted twin.  At threshold 1.0 the verified
+    output is exactly the identical-shingle-SET pair set: equal shingle
+    sets give equal MinHash signatures, hence equal buckets in EVERY
+    band — capture probability 1 — and no pair below Jaccard 1.0
+    survives the exact verify.  SQL-expressible via sorted-shingle-list
+    equality.  Sub-1.0 thresholds (capture probability < 1, not
+    SQL-expressible) are covered by the recall >= 0.9 / precision 1
+    floors in tests/test_lsh_recall.py."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    twin = d.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    return minhash_lsh_pairs(d.unionByName(twin), threshold=1.0)
 
 
 def q_simhash_pairs(spark, sf_dir):
-    return simhash_pairs(_docs(spark, sf_dir), max_hamming=8)
+    """Construct-positive: documents ∪ twin at max_hamming=0, over a
+    HIGH-ENTROPY token projection (8 tokens from md5(text)): real near-
+    dup texts DO collide at SimHash-0 with different token multisets
+    (measured: +4 natural pairs at sf0.01), which no SQL oracle can
+    predict — whereas with 8 independent hash tokens per doc, distinct
+    texts collide with probability ~(0.52)^64 ≈ 5e-19, so the output is
+    exactly the equal-md5 pair set (capture probability 1 for twins via
+    the pigeonhole bands).  This row checks the full pipeline plumbing
+    (JVM tokenize -> xxhash64 -> majority-bit UDF -> band join ->
+    popcount refine) + the hamming-0 semantics; near-dup behavior at
+    max_hamming > 0 is proven set-EQUAL to brute-force Hamming in
+    tests/test_lsh_recall.py."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.regexp_replace(F.md5("text"), "(....)", "$1 ").alias("text")
+    )
+    twin = d.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    return simhash_pairs(d.unionByName(twin), max_hamming=0)
 
 
 def q_ann_lsh(spark, sf_dir):
-    emb = _emb(spark, sf_dir)
+    """Construct-positive: corpus = embeddings ∪ twin; each query's true
+    top-1 is its identical twin at cosine ~1.0, which shares every
+    hyperplane signature — capture probability 1 — so the LSH top-1
+    equals the exact-SQL top-1 (natural max pair cosine in the testdata
+    is ~0.6).  Recall floors for the general k>1 path live in
+    tests/test_lsh_recall.py."""
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    twin = emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
     q = emb.filter((F.col("vec_id") % 10) == 0).select(
         F.col("vec_id").alias("qid"), "embedding"
     )
-    return lsh_cosine_topk(emb, q, k=5).select("qid", "neighbor_id", "rank")
+    return lsh_cosine_topk(emb.unionByName(twin), q, k=1).select(
+        "qid", "neighbor_id", "score", "rank"
+    )
 
 
 def q_embedding_near_dup(spark, sf_dir):
@@ -640,6 +679,43 @@ j AS (SELECT unnest(generate_series(0, 63)) AS pos),
 b AS (SELECT media_id, pos, (pos * ((media_id % 251) + 1)) % 256 AS byte FROM m, j)
 SELECT media_id, CAST(pos // 4 AS INT) AS dim_idx, CAST(avg(byte) AS DOUBLE) AS value
 FROM b GROUP BY media_id, pos // 4
+"""
+    sql["minhash_pairs"] = """
+WITH docs AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+c AS (SELECT doc_id, w FROM docs UNION ALL SELECT doc_id + 100000 AS doc_id, w FROM docs),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(w) >= 3
+      THEN list_sort(list_distinct(list_transform(generate_series(1, len(w) - 2),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])))
+      ELSE [] END AS s
+  FROM c
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, 1.0 AS jaccard
+FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+WHERE len(a.s) > 0
+"""
+    sql["simhash_pairs"] = """
+WITH t AS (SELECT doc_id, md5(text) AS h FROM documents),
+c AS (SELECT doc_id, h FROM t UNION ALL SELECT doc_id + 100000 AS doc_id, h FROM t)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(0 AS INT) AS hamming
+FROM c a JOIN c b ON a.h = b.h AND a.doc_id < b.doc_id
+"""
+    sql["ann_lsh"] = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (SELECT vec_id, v FROM e UNION ALL SELECT vec_id + 100000 AS vec_id, v FROM e),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 10 = 0),
+s AS (
+  SELECT q.qid, c.vec_id AS neighbor_id,
+         CASE WHEN sqrt(list_dot_product(c.v, c.v)) > 0 AND sqrt(list_dot_product(q.qv, q.qv)) > 0
+              THEN list_dot_product(c.v, q.qv) /
+                   (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.qv, q.qv)))
+              ELSE -1.0 END AS score
+  FROM c, q WHERE c.vec_id <> q.qid
+),
+r AS (SELECT qid, neighbor_id, score,
+      row_number() OVER (PARTITION BY qid ORDER BY score DESC, neighbor_id) AS rk FROM s)
+SELECT qid, neighbor_id, score, CAST(rk AS INT) AS rank FROM r WHERE rk <= 1
 """
     sql["ann_cosine"] = """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -423,6 +423,16 @@ def simhash_pairs(
     agree on >= 1 band -> band equi-join, exact popcount refine."""
     nb = max_hamming + 1
     width = 64 // nb
+
+    def band_key(i: int):
+        # nb == 1 (max_hamming=0, exact-equality mode): the whole hash
+        # IS the key — (1 << 64) - 1 does not fit a JVM long.
+        if width >= 64:
+            return F.col("simhash")
+        return F.shiftrightunsigned(F.col("simhash"), i * width).bitwiseAND(
+            F.lit((1 << width) - 1)
+        )
+
     hashes = simhash64(df, text_col, id_col)
     bands = hashes.select(
         "doc",
@@ -430,12 +440,7 @@ def simhash_pairs(
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftrightunsigned(F.col("simhash"), i * width)
-                        .bitwiseAND(F.lit((1 << width) - 1))
-                        .alias("key"),
-                    )
+                    F.struct(F.lit(i).alias("band"), band_key(i).alias("key"))
                     for i in range(nb)
                 ]
             )
