@@ -118,7 +118,7 @@ def main() -> None:
     from rindex_spark.config import EngineConfig, GridSpec
     from rindex_spark.datagen import generate_pages, generate_tiles
     from rindex_spark.functions.text import fingerprint, lang_id, with_text_stats
-    from rindex_spark.grid import infer_grid
+    from rindex_spark.grid import grid_and_extent
     from rindex_spark.operators.ann import cosine_topk
     from rindex_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
     from rindex_spark.operators.knn import build_knn_graph
@@ -186,10 +186,12 @@ def main() -> None:
     ).cache()
     n_points = pts.count()
     cfg = EngineConfig(k=k)
-    spec = infer_grid(pts, cfg)
+    # ONE aggregate job for grid + extent, shared by every spatial op in
+    # the suite (r2 verdict item 8: no per-op fixed driver jobs)
+    spec, extent = grid_and_extent(pts, cfg)
 
     def _graph():
-        g = build_knn_graph(pts, k, spec=spec).cache()
+        g = build_knn_graph(pts, k, spec=spec, extent=extent).cache()
         g.count()
         return g
 

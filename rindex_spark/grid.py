@@ -78,6 +78,23 @@ def infer_grid(points: DataFrame, cfg: EngineConfig, x: str = "x", y: str = "y")
     return grid_from_extent(row, cfg)
 
 
+def grid_and_extent(
+    points: DataFrame, cfg: EngineConfig, x: str = "x", y: str = "y"
+) -> tuple[GridSpec, object]:
+    """One aggregate job -> (GridSpec, extent row with n/xmin/xmax/
+    ymin/ymax).  Callers running several operators over the same point
+    set pass BOTH down (spec= and extent=) so each op adds zero fixed
+    driver jobs (r2 verdict item 8)."""
+    row = points.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(x).alias("xmin"),
+        F.max(x).alias("xmax"),
+        F.min(y).alias("ymin"),
+        F.max(y).alias("ymax"),
+    ).collect()[0]
+    return grid_from_extent(row, cfg), row
+
+
 def grid_from_extent(row, cfg: EngineConfig) -> GridSpec:
     """Build a GridSpec from a pre-collected extent row (n, xmin, xmax,
     ymin, ymax) — lets callers fold extent+grid into one aggregate job."""

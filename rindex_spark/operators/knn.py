@@ -64,6 +64,20 @@ from rindex_spark.grid import ring_lower_bound, with_cells
 _SUPER = 8  # grid cells per supercell side (power of 2: >> 3)
 _SUPER_SHIFT = 3
 
+# Safety rail on the density-derived INITIAL ring radius (in cells).
+# MEASURED (r3, 2M clustered docs, e2e pipeline): capping khi0 small
+# (3) to cut the sparse-fringe candidate replication LOSES on wall
+# clock at every core count (1c: 266s vs 245s, 4c: 83s vs 72s, 8c
+# graph-only: 48s vs 42s) — the replicated candidates cost numpy flops
+# that parallelize fine, while the extra certify round costs a full
+# shuffle+Arrow cascade for the whole sparse fringe.  So the cap is a
+# backstop for pathological density estimates only (the k=10 formula
+# maxes at ~20); the ANNULUS trim below is what keeps multi-round
+# stragglers cheap: each later round ships only never-seen cells, so
+# total shipped volume is bounded by the final window size instead of
+# (rounds x window).
+_KHI0_CAP = 64
+
 _STATE_SCHEMA = (
     "qid long, qx double, qy double, qix long, qiy long, "
     "r_lo long, r_hi long, salt long, cnt long, kth double, "
@@ -117,24 +131,32 @@ def _make_round_udf(k: int, chunk: int = 256, cand_chunk: int = 4096, n_extra: i
 
     def _fn(queries: pd.DataFrame, cand: pd.DataFrame) -> pd.DataFrame:
         """One HASH BUCKET of supercell groups (not one supercell): the
-        cogroup key is pmod(xxhash64(supercell key), B), so each call
-        carries MANY (sx, sy, r_lo, r_hi, salt) subgroups.  Subgroups
-        are matched by sorting both sides on the composite key and
-        slicing — the per-group pandas/Arrow overhead that dominated
+        cogroup key is pmod(gk, B) with gk = xxhash64(supercell key),
+        so each call carries MANY (sx, sy, r_lo, r_hi, salt) subgroups.
+        Subgroups are matched by sorting both sides on gk and slicing —
+        the per-group pandas/Arrow overhead that dominated
         per-supercell cogrouping (~95% of round CPU at 2M points, the
-        kernel itself being seconds) is paid once per BUCKET instead."""
+        kernel itself being seconds) is paid once per BUCKET instead.
+
+        gk is a single PACKED key (candidates carry ONE long instead of
+        the five (ksx, ksy, klo, khi, ksalt) longs — 40 of the 64 bytes
+        of every shuffled candidate row).  A gk collision merely merges
+        two subgroups: every query still meets all of its OWN group's
+        candidates (superset), the extras are real points scored with
+        exact distances, and the (dist, id) merge dedupes — correctness
+        is unaffected, so no collision handling is needed."""
         nq = len(queries)
         if nq == 0:
             return empty
 
         # --- bucket-level extraction + subgroup sort (once per bucket)
+        qkv = queries["gk"].to_numpy(dtype=np.int64)
+        qord = np.argsort(qkv, kind="stable")
+        qkv = qkv[qord]
         qkey = np.stack(
-            [queries[c].to_numpy(dtype=np.int64) for c in ("sx", "sy", "r_lo", "r_hi", "salt")],
+            [queries[c].to_numpy(dtype=np.int64) for c in ("r_lo", "r_hi", "salt")],
             axis=1,
-        )
-        qord = np.lexsort(tuple(qkey[:, j] for j in (4, 3, 2, 1, 0)))
-        qkey = np.ascontiguousarray(qkey[qord])
-        qkv = qkey.view([("", np.int64)] * 5).ravel()
+        )[qord]
         qid_a = queries["qid"].to_numpy()[qord]
         qx = queries["qx"].to_numpy(dtype=np.float64)[qord]
         qy = queries["qy"].to_numpy(dtype=np.float64)[qord]
@@ -156,13 +178,9 @@ def _make_round_udf(k: int, chunk: int = 256, cand_chunk: int = 4096, n_extra: i
 
         nc = len(cand)
         if nc:
-            ckey = np.stack(
-                [cand[c].to_numpy(dtype=np.int64) for c in ("ksx", "ksy", "klo", "khi", "ksalt")],
-                axis=1,
-            )
-            cord = np.lexsort(tuple(ckey[:, j] for j in (4, 3, 2, 1, 0)))
-            ckey = np.ascontiguousarray(ckey[cord])
-            ckv = ckey.view([("", np.int64)] * 5).ravel()
+            ckv = cand["gk"].to_numpy(dtype=np.int64)
+            cord = np.argsort(ckv, kind="stable")
+            ckv = ckv[cord]
             cx = cand["x"].to_numpy(dtype=np.float64)[cord]
             cy = cand["y"].to_numpy(dtype=np.float64)[cord]
             cid = cand["id"].to_numpy(dtype=np.int64)[cord]
@@ -383,9 +401,9 @@ def _make_round_udf(k: int, chunk: int = 256, cand_chunk: int = 4096, n_extra: i
             "qy": qy,
             "qix": qix_a,
             "qiy": qiy_a,
-            "r_lo": qkey[:, 2],
-            "r_hi": qkey[:, 3],
-            "salt": qkey[:, 4],
+            "r_lo": qkey[:, 0],
+            "r_hi": qkey[:, 1],
+            "salt": qkey[:, 2],
             "cnt": out_cnt,
             "kth": out_kth,
             "best_dist": out_d,
@@ -456,17 +474,26 @@ def _small_frontier_knn(
                     del dj
                 np.sqrt(d, out=d)
                 kk = min(k, d.shape[1])
-                idx = np.argsort(d, axis=1, kind="stable")[:, :kk]
-                dd_all = np.take_along_axis(d, idx, axis=1)
-                ii_all = pid[idx]
+                # argpartition (O(n)) + exact tie-widening instead of a
+                # full-row argsort — the row sort was ~80% of the brute
+                # tail's wall time.  Distances here are exact f64, so
+                # "<= pool max" captures every k-th-boundary tie exactly.
+                part = np.argpartition(d, kk - 1, axis=1)[:, :kk]
+                pmax = np.take_along_axis(d, part, axis=1).max(axis=1)
+                wide = (d <= pmax[:, None]).sum(axis=1) > kk
                 for r in range(e - s):
+                    idxs = np.nonzero(d[r] <= pmax[r])[0] if wide[r] else part[r]
+                    dd = d[r][idxs]
+                    ii = pid[idxs]
+                    o = np.lexsort((ii, dd))[:kk]
+                    dd, ii = dd[o], ii[o]
                     if len(best_d[s + r]):
-                        md = np.concatenate([best_d[s + r], dd_all[r]])
-                        mi = np.concatenate([best_i[s + r], ii_all[r]])
+                        md = np.concatenate([best_d[s + r], dd])
+                        mi = np.concatenate([best_i[s + r], ii])
                         mo = np.lexsort((mi, md))[:k]
                         best_d[s + r], best_i[s + r] = md[mo], mi[mo]
                     else:
-                        best_d[s + r], best_i[s + r] = dd_all[r], ii_all[r]
+                        best_d[s + r], best_i[s + r] = dd, ii
         rows = {
             "qid": [], "id": [], "dist": [], "rank": [],
         }
@@ -529,6 +556,7 @@ def knn_for_queries(
     cfg: EngineConfig | None = None,
     queries_within_extent: bool = False,
     extra_cols: tuple = (),
+    extent=None,
 ) -> DataFrame:
     """Exact kNN of each query point against ``points``.
 
@@ -551,6 +579,12 @@ def knn_for_queries(
 
     ``query_neighbors`` parity: rindex.rs:197-214.  k <= 0 or empty
     points => empty result (rindex.rs:198-200).
+
+    ``extent`` (optional): a precomputed extent row/dict with keys
+    (n, xmin, xmax, ymin, ymax) for ``points`` — callers running many
+    ops on the same point set (bench suites, batch replay) pass it
+    together with ``spec`` so no per-call fixed driver job remains
+    (grid.grid_and_extent computes both in one aggregate).
     """
     extra_cols = tuple(extra_cols)
     n_extra = len(extra_cols)
@@ -563,7 +597,7 @@ def knn_for_queries(
     cfg = cfg or EngineConfig(k=k)
 
     # one aggregate job yields both the grid spec and the extent
-    ext = points.agg(
+    ext = extent if extent is not None else points.agg(
         F.count(F.lit(1)).alias("n"),
         F.min("x").alias("xmin"),
         F.max("x").alias("xmax"),
@@ -645,6 +679,7 @@ def knn_for_queries(
                 "long"
             ),
         ),
+        F.lit(_KHI0_CAP).cast("long"),
         F.lit(r_max).cast("long"),
     )
 
@@ -702,12 +737,12 @@ def knn_for_queries(
     # subgroups out with one sort + searchsorted.  4x parallelism gives
     # AQE room to balance without making buckets per-group-small again.
     n_buckets = max(64, spark.sparkContext.defaultParallelism * 4)
-    q_bkt = F.pmod(
-        F.xxhash64("sx", "sy", "r_lo", "r_hi", "salt"), F.lit(n_buckets)
-    ).alias("bkt")
-    c_bkt = F.pmod(
-        F.xxhash64("ksx", "ksy", "klo", "khi", "ksalt"), F.lit(n_buckets)
-    ).alias("bkt")
+    # gk: the (supercell, window, salt) identity packed into ONE long
+    # (xxhash64) — candidates ship 1 key column instead of 5 (40 of the
+    # 64 bytes/row of the big shuffle side); see _fn on why collisions
+    # are harmless.  The cogroup bucket is pmod(gk, B).
+    q_gk = F.xxhash64("sx", "sy", "r_lo", "r_hi", "salt").alias("gk")
+    c_gk = F.xxhash64("ksx", "ksy", "klo", "khi", "ksalt").alias("gk")
 
     for _round in range(cfg.max_rounds):
         _t0 = _time.monotonic()
@@ -735,6 +770,19 @@ def knn_for_queries(
         hi_x = F.col("ksx") * _SUPER + (_SUPER - 1) + F.col("khi")
         lo_y = F.col("ksy") * _SUPER - F.col("khi")
         hi_y = F.col("ksy") * _SUPER + (_SUPER - 1) + F.col("khi")
+        # ANNULUS trim: drop the already-seen inner block [range +- klo].
+        # Valid because (a) klo = each member query's own previous khi
+        # (r_lo carries the prior window and is part of the group key),
+        # (b) the previous round's candidate set for this (sx, sy, salt)
+        # group was exactly the block [range +- klo], and (c) the kernel
+        # merges EVERY group candidate into EVERY member query's carried
+        # top-k — so every inner-block point is already reflected in the
+        # carried state and re-shipping it is pure waste.  Round 0
+        # (klo = -1) keeps the full block.
+        seen_lo_x = F.col("ksx") * _SUPER - F.col("klo")
+        seen_hi_x = F.col("ksx") * _SUPER + (_SUPER - 1) + F.col("klo")
+        seen_lo_y = F.col("ksy") * _SUPER - F.col("klo")
+        seen_hi_y = F.col("ksy") * _SUPER + (_SUPER - 1) + F.col("klo")
         # qualified alias: frontier's subtree references pts (density
         # join), so this is a self-join from Catalyst's point of view
         cp = pts.alias("cp")
@@ -750,8 +798,16 @@ def knn_for_queries(
                 & (F.col("cp.iy") >= lo_y)
                 & (F.col("cp.iy") <= hi_y)
             )
+            .filter(
+                (F.col("klo") < 0)
+                | (F.col("cp.ix") < seen_lo_x)
+                | (F.col("cp.ix") > seen_hi_x)
+                | (F.col("cp.iy") < seen_lo_y)
+                | (F.col("cp.iy") > seen_hi_y)
+            )
             .select(
-                "ksx", "ksy", "klo", "khi", "ksalt", "cp.id", "cp.x", "cp.y",
+                c_gk, F.col("cp.id").alias("id"), F.col("cp.x").alias("x"),
+                F.col("cp.y").alias("y"),
                 *[F.col(f"cp.{c}").alias(f"e{i}") for i, c in enumerate(extra_cols)],
             )
         )
@@ -767,9 +823,14 @@ def knn_for_queries(
         # session; under memory pressure eviction recomputes a
         # deterministic lineage instead (bounded: rounds are few).
         state = (
-            frontier.withColumn("bkt", q_bkt)
+            frontier.withColumn("gk", q_gk)
+            .withColumn("bkt", F.pmod(F.col("gk"), F.lit(n_buckets)))
             .groupBy("bkt")
-            .cogroup(cand.withColumn("bkt", c_bkt).groupBy("bkt"))
+            .cogroup(
+                cand.withColumn(
+                    "bkt", F.pmod(F.col("gk"), F.lit(n_buckets))
+                ).groupBy("bkt")
+            )
             .applyInPandas(round_udf, schema=state_schema)
             .persist(StorageLevel.MEMORY_ONLY)
         )
@@ -859,6 +920,7 @@ def build_knn_graph(
     spec: GridSpec | None = None,
     cfg: EngineConfig | None = None,
     extra_cols: tuple = (),
+    extent=None,
 ) -> DataFrame:
     """The materialized kNN graph: every point's k nearest neighbors
     INCLUDING itself at distance 0.0 / rank 1 (reference invariant:
@@ -871,7 +933,7 @@ def build_knn_graph(
     queries = points.select(F.col("id").alias("qid"), "x", "y", *extra_cols)
     g = knn_for_queries(
         points, queries, k, spec=spec, cfg=cfg,
-        queries_within_extent=True, extra_cols=extra_cols,
+        queries_within_extent=True, extra_cols=extra_cols, extent=extent,
     )
     return g.select(
         F.col("qid").alias("src"), F.col("id").alias("dst"), "dist", "rank"
