@@ -168,8 +168,12 @@ def main() -> None:
     k = 10
 
     def e2e():
+        # partition count follows the DATA, not the core count: 100k
+        # docs in 32 slivers just pays 4x task-grain + python-worker
+        # fixed costs (measured 8.5s vs 3.4s at local[32] vs local[8]);
+        # ~12.5k docs per split keeps every grain worth its overhead.
         pages = generate_pages(spark, n_pages, dist="clustered", seed=42,
-                               partitions=max(cpus, 8))
+                               partitions=max(8, min(cpus, n_pages // 12_500)))
         pts = points_from_pages(pages).cache()
         g = build_knn_graph(pts, k)
         n = g.count()
@@ -205,6 +209,14 @@ def main() -> None:
     rq = pts.filter((F.col("id") % 211) == 0).select(F.col("id").alias("qid"), "x", "y")
     bench("reverse_knn", lambda: reverse_knn(pts, graph, rq, k, spec).count())
 
+    # many-query RkNN: exercises the covering-block EQUI-join prune
+    # (r3; the former queries x cells broadcast nested loop was the r2
+    # plan-shape risk at scale)
+    rq_many = pts.filter((F.col("id") % 13) == 0).select(
+        F.col("id").alias("qid"), "x", "y"
+    )
+    bench("reverse_knn_many", lambda: reverse_knn(pts, graph, rq_many, k, spec).count())
+
     bench(
         "pip_tiles",
         lambda: assign_tiles(
@@ -238,6 +250,19 @@ def main() -> None:
         F.col("vec_id").alias("qid"), "embedding"
     )
     bench("ann_cosine_topk", lambda: cosine_topk(emb, qe, k=5).count())
+
+    # candidate-heavy LSH refine (r3): corpus ∪ identical twin doubles
+    # the corpus and guarantees one bucket hit per vector, so the exact
+    # refine scores a corpus-sized candidate set through pair_cosine_udf
+    from rindex_spark.operators.ann import embedding_near_dup
+
+    emb2 = emb.select("vec_id", "embedding").unionByName(
+        emb.select((F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding")
+    )
+    bench(
+        "embedding_near_dup",
+        lambda: embedding_near_dup(emb2, threshold=0.99).count(),
+    )
 
     total = round(sum(timings.values()), 3)
     docs_per_min = round(n_pages / timings["e2e_pages_to_knn_graph"] * 60.0, 1)

@@ -40,7 +40,7 @@ from rindex_spark.operators.raster import (
 from rindex_spark.operators.rknn import reverse_knn
 from rindex_spark.operators.stats import cell_stats, index_stats, knn_dist_of, neighbors_of
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 __all__ = [
     "EngineConfig",
