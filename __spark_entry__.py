@@ -273,6 +273,27 @@ def q_corpus_filter(spark, sf_dir):
     )
 
 
+def q_host_stats(spark, sf_dir):
+    """Per-host corpus profile (functions.web.host_stats): the Zipfian
+    -host analysis a 100 TB corpus build runs before capping; one
+    map-side-combinable aggregate.  `source` plays the host column on
+    the testdata documents table."""
+    from rindex_spark.functions.web import host_stats
+
+    return host_stats(_docs(spark, sf_dir), host_col="source")
+
+
+def q_host_cap(spark, sf_dir):
+    """Per-host contribution cap (functions.web.per_host_cap): keep at
+    most 10 docs per host.  The driver row orders by doc_id (SQL-
+    expressible, deterministic); the production default is an
+    xxhash64 shuffle."""
+    from rindex_spark.functions.web import per_host_cap
+
+    d = _docs(spark, sf_dir).withColumn("host", F.col("source"))
+    return per_host_cap(d, 10, order_col="doc_id").select("doc_id", "host")
+
+
 def q_dedup_exact(spark, sf_dir):
     return dedup_exact(_docs(spark, sf_dir))
 
@@ -400,6 +421,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygon_raster": q_polygon_raster,
         "text_stats": q_text_stats,
         "corpus_filter": q_corpus_filter,
+        "host_stats": q_host_stats,
+        "host_cap": q_host_cap,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine": q_ann_cosine,
@@ -601,6 +624,22 @@ FROM s
 JOIN l ON l.doc_id = s.doc_id
 JOIN k ON k.doc_id = s.doc_id
 WHERE l.lang_pred = 'en' AND s.quality_score >= 0.5 AND s.n_tokens >= 20
+"""
+    sql["host_stats"] = """
+SELECT source AS host,
+       count(*) AS n_docs,
+       count(DISTINCT lang) AS n_langs,
+       sum(length(text)) AS sum_chars,
+       sum(length(text)) / count(*) AS avg_chars
+FROM documents GROUP BY source
+"""
+    sql["host_cap"] = """
+WITH r AS (
+  SELECT doc_id, source AS host,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id, doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, host FROM r WHERE rn <= 10
 """
     sql["dedup_exact"] = """
 SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keep_id

@@ -18,11 +18,19 @@ Public surface (reference parity, SURVEY.md §2):
   - apply_ops_batches                  (insert/delete, rindex.rs:92-135)
 plus the training-data pipeline layer: dedup (exact / minhash-LSH /
 simhash / n-gram jaccard / embedding), ANN search, text analysis,
+URL/host analysis (Zipfian-host profiling + per-host caps),
 multimodal plumbing, tiling (point-in-polygon), raster<->vector.
 """
 
 from rindex_spark.config import EngineConfig, GridSpec
-from rindex_spark.grid import infer_grid
+from rindex_spark.functions.web import (
+    hot_hosts,
+    host_stats,
+    per_host_cap,
+    registered_domain,
+    url_host,
+)
+from rindex_spark.grid import grid_and_extent, infer_grid
 from rindex_spark.operators.ann import cosine_topk, embedding_near_dup, lsh_cosine_topk
 from rindex_spark.operators.dedup import (
     dedup_exact,
@@ -46,6 +54,12 @@ __all__ = [
     "EngineConfig",
     "GridSpec",
     "infer_grid",
+    "grid_and_extent",
+    "url_host",
+    "registered_domain",
+    "host_stats",
+    "hot_hosts",
+    "per_host_cap",
     "build_knn_graph",
     "knn_for_queries",
     "range_join",

@@ -1,0 +1,110 @@
+"""URL / host analysis for web-corpus pipelines.
+
+The reference has no notion of URLs (a pure spatial library); this is
+the webtext half of the graft (BASELINE.json north_star: Common-Crawl
+-style pages, "Zipfian web hosts" as the canonical skew source).  A
+100 TB corpus build needs host-level operations for exactly the same
+reason the spatial side needs hot-cell salting: host frequency is
+Zipfian, and any per-host grouping or crawl-politeness cap must be one
+map-side-combinable aggregate, never a driver-side loop.
+
+Everything here is pure JVM column expressions (parse_url, regexp,
+window) — no Python anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def url_host(url: Column) -> Column:
+    """Host of a URL (JVM ``try_parse_url``), lowercased; null for
+    unparseable input (plain ``parse_url`` RAISES under ANSI mode)."""
+    return F.lower(F.try_parse_url(url, F.lit("HOST")))
+
+
+def registered_domain(host: Column) -> Column:
+    """Last-two-labels approximation of the registered domain
+    (``news.example.com -> example.com``).
+
+    HONEST LIMITATION: a correct registered domain needs the Mozilla
+    public-suffix list (``co.uk`` has three labels) — external data
+    this engine does not ship.  The two-label heuristic is exact for
+    generic TLDs and documented-wrong for ccSLDs; callers needing PSL
+    accuracy should broadcast-join their own suffix table."""
+    return F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+
+
+def host_stats(
+    df: DataFrame,
+    host_col: str = "host",
+    text_col: str | None = "text",
+    lang_col: str | None = "lang",
+) -> DataFrame:
+    """Per-host profile: one hash aggregate (map-side combinable; the
+    shuffle carries one row per DISTINCT host — at web scale that is
+    ~1e8 rows from 1e12 pages).
+
+    returns (host, n_docs, n_langs?, sum_chars?, avg_chars?) — the
+    lang/text aggregates appear when their columns are named."""
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    if lang_col is not None:
+        aggs.append(F.count_distinct(F.col(lang_col)).alias("n_langs"))
+    if text_col is not None:
+        aggs.append(F.sum(F.length(F.col(text_col))).alias("sum_chars"))
+    out = df.groupBy(F.col(host_col).alias("host")).agg(*aggs)
+    if text_col is not None:
+        out = out.withColumn("avg_chars", F.col("sum_chars") / F.col("n_docs"))
+    return out
+
+
+def hot_hosts(df: DataFrame, host_col: str = "host", factor: float = 8.0) -> DataFrame:
+    """Hosts with more than ``factor`` x the mean per-host document
+    count — the Zipfian-head detector (textual analogue of the spatial
+    layer's hot-cell map; broadcast the result to salt or cap).
+
+    returns (host, n_docs)."""
+    counts = df.groupBy(F.col(host_col).alias("host")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    mean = counts.agg(F.avg("n_docs").alias("m"))
+    return (
+        counts.crossJoin(F.broadcast(mean))
+        .filter(F.col("n_docs") > F.col("m") * F.lit(factor))
+        .select("host", "n_docs")
+    )
+
+
+def per_host_cap(
+    df: DataFrame,
+    max_per_host: int,
+    host_col: str = "host",
+    order_col: Column | str | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep at most ``max_per_host`` documents per host — the standard
+    corpus-balance / crawl-politeness cap (a Zipfian head otherwise
+    dominates the training mix).
+
+    ``order_col`` decides WHICH documents survive: default
+    ``xxhash64(id_col)`` (a deterministic uniform shuffle, unbiased by
+    crawl order); pass a column for policy ordering (e.g. quality
+    score descending).  Ties broken by ``id_col``.
+
+    One window per host partition — Zipfian-skew note: a single
+    pathological host (1e9 docs) makes one fat partition; for such
+    heads, pre-filter with ``hot_hosts`` and drop or pre-sample them
+    before the window (the same two-phase shape as hot-cell salting).
+    """
+    order = (
+        F.xxhash64(F.col(id_col))
+        if order_col is None
+        else (F.col(order_col) if isinstance(order_col, str) else order_col)
+    )
+    w = Window.partitionBy(host_col).orderBy(order.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_per_host)
+        .drop("_rn")
+    )

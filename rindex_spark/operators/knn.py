@@ -877,8 +877,13 @@ def knn_for_queries(
         )
         n_left = next_frontier.count()
         if debug:
+            # candidate-volume diagnostic (costs one extra job; debug
+            # only): shipped rows / n_points = the replication factor
+            # the annulus trim + khi0 policy control
+            n_cand = cand.count()
             print(
-                f"[knn round {_round}] left={n_left} "
+                f"[knn round {_round}] left={n_left} cand={n_cand} "
+                f"(x{n_cand / max(ext['n'], 1):.2f} of n) "
                 f"{_time.monotonic() - _t0:.2f}s cs={spec.cell_size:.3g}",
                 flush=True,
             )

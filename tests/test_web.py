@@ -1,0 +1,86 @@
+"""URL/host analysis (functions.web): host extraction on real URLs,
+Zipfian hot-host detection, and the per-host contribution cap
+(determinism + unbiasedness-by-construction of the hash ordering)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rindex_spark.functions.web import (
+    hot_hosts,
+    host_stats,
+    per_host_cap,
+    registered_domain,
+    url_host,
+)
+
+
+def test_url_host_and_registered_domain(spark):
+    rows = [
+        (0, "https://News.Example.com/a/b?q=1"),
+        (1, "http://example.org"),
+        (2, "https://a.b.co.uk/path"),
+        (3, "not a url"),
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    got = {
+        r["id"]: (r["h"], r["d"])
+        for r in df.select(
+            "id",
+            url_host(F.col("url")).alias("h"),
+            registered_domain(url_host(F.col("url"))).alias("d"),
+        ).collect()
+    }
+    assert got[0] == ("news.example.com", "example.com")
+    assert got[1] == ("example.org", "example.org")
+    # documented two-label limitation: co.uk is NOT treated as a suffix
+    assert got[2] == ("a.b.co.uk", "co.uk")
+    assert got[3][0] is None
+
+
+def test_hot_hosts_zipfian(spark):
+    # 1 head host with 500 docs, 50 tail hosts with 4 each
+    rows = [(i, "big.com") for i in range(500)] + [
+        (1000 + i, f"tail{i % 50}.com") for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, host string")
+    hot = {r["host"]: r["n_docs"] for r in hot_hosts(df, factor=8.0).collect()}
+    # mean = 700/51 ≈ 13.7; only the head crosses 8x the mean
+    assert hot == {"big.com": 500}
+
+
+def test_per_host_cap_exact_and_deterministic(spark):
+    rows = [(h * 100 + i, f"h{h}.com", 1000 - i) for h in range(5) for i in range(h * 7 + 1)]
+    df = spark.createDataFrame(rows, "doc_id long, host string, score long")
+    capped = per_host_cap(df, 5)
+    out = capped.groupBy("host").count().collect()
+    per_host = {r["host"]: r["count"] for r in out}
+    for h in range(5):
+        assert per_host[f"h{h}.com"] == min(5, h * 7 + 1)
+    # deterministic: two runs give identical survivor sets
+    s1 = {r["doc_id"] for r in per_host_cap(df, 5).collect()}
+    s2 = {r["doc_id"] for r in per_host_cap(df, 5).collect()}
+    assert s1 == s2
+    # policy ordering: score ascending keeps the LOWEST scores
+    by_score = per_host_cap(df, 2, order_col="score")
+    kept = {
+        r["doc_id"] for r in by_score.filter(F.col("host") == "h4.com").collect()
+    }
+    # h4 rows have doc_ids 400..428 with score 1000-i -> lowest scores
+    # are the highest i values (i=28, 27)
+    assert kept == {428, 427}
+
+
+def test_host_stats_profile(spark):
+    rows = [
+        (0, "a.com", "en", "hello world"),
+        (1, "a.com", "de", "hallo"),
+        (2, "b.com", "en", "x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, host string, lang string, text string")
+    got = {r["host"]: r for r in host_stats(df).collect()}
+    assert got["a.com"]["n_docs"] == 2
+    assert got["a.com"]["n_langs"] == 2
+    assert got["a.com"]["sum_chars"] == 16
+    assert got["a.com"]["avg_chars"] == 8.0
+    assert got["b.com"]["n_docs"] == 1 and got["b.com"]["n_langs"] == 1
