@@ -373,6 +373,25 @@ def q_ann_lsh(spark, sf_dir):
     )
 
 
+def q_ann_ivf(spark, sf_dir):
+    """Construct-positive (same argument as ann_lsh): corpus =
+    embeddings ∪ twin.  An identical twin lands in exactly the cell
+    the query probes first (same vector -> same argmax centroid,
+    deterministic tie-break), so IVF top-1 at n_probe=1 equals the
+    exact-SQL top-1.  Recall floors for the general path live in
+    tests/test_lsh_recall.py."""
+    from rindex_spark.operators.ann import ivf_cosine_topk
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    twin = emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    q = emb.filter((F.col("vec_id") % 10) == 0).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    return ivf_cosine_topk(
+        emb.unionByName(twin), q, k=1, n_centroids=16, n_probe=1
+    ).select("qid", "neighbor_id", "score", "rank")
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Corpus = embeddings ∪ an id-shifted twin of itself: every vector
     gains exactly one planted duplicate at cosine 1.0 (identical
@@ -431,6 +450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "embedding_near_dup": q_embedding_near_dup,
         "multimodal_features": q_multimodal_features,
     }
@@ -756,6 +776,9 @@ r AS (SELECT qid, neighbor_id, score,
       row_number() OVER (PARTITION BY qid ORDER BY score DESC, neighbor_id) AS rk FROM s)
 SELECT qid, neighbor_id, score, CAST(rk AS INT) AS rank FROM r WHERE rk <= 1
 """
+    # identical construct to ann_lsh: the planted twin is the exact
+    # global top-1 and is guaranteed-captured, so exact SQL == IVF
+    sql["ann_ivf"] = sql["ann_lsh"]
     sql["ann_cosine"] = """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 10 = 0),

@@ -31,7 +31,12 @@ from rindex_spark.functions.web import (
     url_host,
 )
 from rindex_spark.grid import grid_and_extent, infer_grid
-from rindex_spark.operators.ann import cosine_topk, embedding_near_dup, lsh_cosine_topk
+from rindex_spark.operators.ann import (
+    cosine_topk,
+    embedding_near_dup,
+    ivf_cosine_topk,
+    lsh_cosine_topk,
+)
 from rindex_spark.operators.dedup import (
     dedup_exact,
     minhash_lsh_pairs,
@@ -70,6 +75,7 @@ __all__ = [
     "neighbors_of",
     "cosine_topk",
     "lsh_cosine_topk",
+    "ivf_cosine_topk",
     "embedding_near_dup",
     "dedup_exact",
     "minhash_lsh_pairs",

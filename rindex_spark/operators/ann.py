@@ -3,11 +3,16 @@
 * ``cosine_topk``        — exact baseline: broadcast the query MATRIX,
   stream the corpus through one mapInPandas pass scoring whole Arrow
   batches with a BLAS matmul, merge tiny per-partition top-k partials.
-* ``lsh_cosine_topk``    — the scale path: random-hyperplane signatures
+* ``lsh_cosine_topk``    — scale path 1: random-hyperplane signatures
   bucket the corpus; each query probes its own bucket (+ multiprobe
   neighbors), exact cosine refine on candidates only.  Recall < 1 by
   design; the bucket join replaces the all-pairs product exactly like
   grid cells replace the all-pairs distance join in the spatial ops.
+* ``ivf_cosine_topk``    — scale path 2: IVF — coarse spherical
+  k-means cells (sample-trained, deterministic), corpus partitioned
+  once by cell, queries probe their n_probe nearest cells, exact
+  refine on the probed cells.  Data-adaptive where LSH is
+  data-oblivious; the standard billion-vector layout.
 * ``embedding_near_dup`` — near-duplicate pairs by cosine >= threshold,
   via the same LSH buckets.
 
@@ -25,7 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import LongType
+from pyspark.sql.types import ArrayType, LongType
 
 
 def _dot(a, b):
@@ -340,6 +345,134 @@ def lsh_cosine_topk(
         .join(q0, "qid")
         .withColumn("score", pair_cosine_udf(F.col("_cv"), F.col("_qv")))
     )
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "neighbor_id", "score", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    train_sample: int = 65_536,
+    n_iters: int = 10,
+    seed: int = 11,
+) -> np.ndarray:
+    """Spherical k-means coarse quantizer for IVF, trained on a
+    DETERMINISTIC sample (the ``train_sample`` smallest ids — at
+    100 TB you train the quantizer on a sample and that is standard
+    IVF practice, e.g. FAISS trains on ~max(256, 64*k) vectors per
+    centroid; id-ordered sampling keeps the run reproducible where
+    ``df.sample`` would depend on partitioning).
+
+    Returns a row-normalized (n_centroids, dim) float64 matrix.
+    Driver-side numpy: the sample and the centroid matrix are
+    dimension-table-sized by construction, never data-sized."""
+    rows = (
+        corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .orderBy("i")
+        .limit(train_sample)
+        .collect()
+    )
+    X = np.array([np.asarray(r["v"], dtype=np.float64) for r in rows])
+    norms = np.sqrt((X * X).sum(axis=1))
+    ok = norms > 0
+    X = X[ok] / norms[ok][:, None]
+    n_c = min(n_centroids, len(X))
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=n_c, replace=False)]
+    for _ in range(n_iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(n_c):
+            m = assign == j
+            if m.any():
+                c = X[m].sum(axis=0)
+                n = np.sqrt((c * c).sum())
+                if n > 0:
+                    C[j] = c / n
+    return C
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str,
+    out_col: str = "cluster",
+    n_probe: int = 1,
+) -> DataFrame:
+    """Adds the ids of each row's ``n_probe`` nearest centroids
+    (cosine): one broadcast of the tiny centroid matrix + one Arrow
+    batch matmul per partition — no shuffle.  n_probe=1 yields a
+    single ``cluster`` long column; n_probe>1 explodes to one row per
+    probed cluster."""
+    bc = df.sparkSession.sparkContext.broadcast(centroids)
+
+    @pandas_udf(ArrayType(LongType()))
+    def probes(vecs: pd.Series) -> pd.Series:
+        C = bc.value
+        out = []
+        for v in vecs:
+            if v is None:
+                out.append([0] * n_probe)
+                continue
+            x = np.asarray(v, dtype=np.float64)
+            n = np.sqrt((x * x).sum())
+            s = (C @ (x / n)) if n > 0 else np.zeros(len(C))
+            p = min(n_probe, len(C))
+            top = np.argpartition(-s, p - 1)[:p]
+            top = top[np.argsort(-s[top], kind="stable")]
+            out.append([int(t) for t in top])
+        return pd.Series(out)
+
+    probed = df.withColumn("_probes", probes(F.col(vec_col)))
+    if n_probe == 1:
+        return probed.withColumn(out_col, F.col("_probes")[0]).drop("_probes")
+    return probed.withColumn(out_col, F.explode("_probes")).drop("_probes")
+
+
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    include_self: bool = False,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: coarse spherical-k-means quantizer, each
+    query probes its ``n_probe`` nearest centroid cells, exact cosine
+    refine (pair_cosine_udf) on the probed cells only.
+
+    The 100 TB shape: the corpus shuffles ONCE on ``cluster`` (and on
+    a real deployment is written bucketed/partitioned by cluster, so
+    repeated query batches never reshuffle it); per query batch only
+    the probed cells are scanned — recall/cost tuned by n_probe
+    exactly like LSH's n_tables, but with data-adaptive cells instead
+    of data-oblivious hyperplanes.
+
+    returns (qid, neighbor_id, score, rank), rank by (score desc, id).
+    """
+    c0 = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, n_centroids, vec_col, id_col
+        )
+    assigned = ivf_assign(c0, centroids, "_cv", out_col="cluster", n_probe=1)
+    q0 = queries.select("qid", F.col(vec_col).alias("_qv"))
+    qprobed = ivf_assign(q0, centroids, "_qv", out_col="cluster", n_probe=n_probe)
+
+    cand = qprobed.join(assigned, "cluster").select(
+        "qid", "neighbor_id", "_qv", "_cv"
+    )
+    if not include_self:
+        cand = cand.filter(F.col("neighbor_id") != F.col("qid"))
+    scored = cand.withColumn("score", pair_cosine_udf(F.col("_cv"), F.col("_qv")))
     w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -157,6 +157,63 @@ def test_ann_lsh_top1_recall(spark):
     assert recall >= 0.85, f"ann LSH top-1 recall {recall:.3f} < 0.85"
 
 
+def test_ann_ivf_top1_recall_and_cost(spark):
+    """IVF with n_probe of n_centroids cells: top-1 recall floor on
+    the planted-perturbation corpus, plus the cost contract — the
+    refine must score only the probed fraction of the corpus (that IS
+    the point of IVF)."""
+    from rindex_spark.operators.ann import ivf_assign, ivf_cosine_topk, train_ivf_centroids
+
+    rng = np.random.default_rng(31)
+    base = rng.standard_normal((400, 64))
+    qn = 80
+    pert = base[:qn] + 0.10 * rng.standard_normal((qn, 64))
+    corpus = spark.createDataFrame(
+        _emb_rows(base), "vec_id long, embedding array<double>"
+    ).cache()
+    queries = spark.createDataFrame(
+        [(5000 + int(i), [float(v) for v in row]) for i, row in enumerate(pert)],
+        "qid long, embedding array<double>",
+    )
+    exact1 = {
+        r["qid"]: r["neighbor_id"]
+        for r in cosine_topk(corpus, queries, k=1).collect()
+    }
+    got1 = {
+        r["qid"]: r["neighbor_id"]
+        for r in ivf_cosine_topk(
+            corpus, queries, k=1, n_centroids=16, n_probe=4
+        ).collect()
+    }
+    hits = sum(1 for q, n in exact1.items() if got1.get(q) == n)
+    recall = hits / len(exact1)
+    # a ~7-degree perturbation rarely crosses a coarse spherical-cell
+    # boundary beyond the 4 probed cells
+    assert recall >= 0.85, f"IVF top-1 recall {recall:.3f} < 0.85"
+
+    # cost contract: candidates scored = sum over queries of their
+    # probed cells' sizes — strictly less than |q| x |corpus|
+    cents = train_ivf_centroids(corpus, 16, "embedding", "vec_id")
+    assigned = ivf_assign(
+        corpus.select("vec_id", F.col("embedding").alias("_cv")), cents, "_cv"
+    )
+    sizes = {r["cluster"]: r["n"] for r in assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n")).collect()}
+    qprob = ivf_assign(
+        queries.select("qid", F.col("embedding").alias("_qv")), cents, "_qv", n_probe=4
+    )
+    n_cand = sum(sizes.get(r["cluster"], 0) for r in qprob.collect())
+    assert n_cand < 0.6 * qn * 400, f"IVF probed {n_cand} of {qn * 400} pairs"
+
+    # determinism: same seed -> identical centroids -> identical output
+    got2 = {
+        r["qid"]: r["neighbor_id"]
+        for r in ivf_cosine_topk(
+            corpus, queries, k=1, n_centroids=16, n_probe=4
+        ).collect()
+    }
+    assert got1 == got2
+
+
 def test_embedding_near_dup_planted(spark):
     rng = np.random.default_rng(23)
     base = rng.standard_normal((250, 64))
