@@ -12,10 +12,12 @@ extraction (pandas UDFs) -> cell grid -> exact k=10 kNN graph; plus the
 component operators (range join, reverse kNN, PIP tiling, text
 pipeline, minhash dedup, ANN).
 
-Scaling evidence (north_rule, N vs 4N): run twice —
-  SPARK_GRAFT_CPUS=8  python bench.py
-  SPARK_GRAFT_CPUS=32 python bench.py
-and compare docs_per_min (see BENCH.md).
+Scaling evidence (north_rule, N vs 4N): one command —
+  SPARK_GRAFT_SCALE_DOCS=2000000 python bench.py --scaling-pair 1
+runs the e2e job back-to-back at local[1] and local[4] and prints the
+efficiency ratio (see BENCH.md for why 1 vs 4 rather than 8 vs 32 on
+this single-socket box).  `--scaling` alone runs one measurement at
+SPARK_GRAFT_CPUS cores.
 """
 
 from __future__ import annotations
@@ -29,15 +31,11 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 
-def scaling_run(n_pages: int | None = None) -> None:
-    """The N-vs-4N scaling evidence job (north_rule): the same e2e
-    pages -> extract -> exact kNN-graph pipeline, at whatever core count
-    SPARK_GRAFT_CPUS names.  Run with 8 and 32 and compare docs_per_min
-    (see BENCH.md)."""
+def _one_scaling_run(cpus: int, n_pages: int) -> dict:
+    """One e2e pages -> extract -> exact kNN-graph run at ``cpus``
+    cores; returns the result record (fresh SparkSession per run so
+    core counts never share a JVM)."""
     import time as _t
-
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_pages = n_pages or int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "2000000"))
 
     from pyspark.sql import SparkSession
 
@@ -69,24 +67,55 @@ def scaling_run(n_pages: int | None = None) -> None:
     n = pts.count()
     rows = build_knn_graph(pts, 10).count()
     el = _t.monotonic() - t0
-    print(
-        json.dumps(
-            {
-                "metric": "scaling_e2e_knn_graph_sec",
-                "value": round(el, 1),
-                "unit": "sec",
-                "cpus": cpus,
-                "n_pages": n,
-                "n_graph_rows": rows,
-                "docs_per_min": round(n / el * 60.0, 1),
-            }
-        )
-    )
     spark.stop()
+    return {
+        "metric": "scaling_e2e_knn_graph_sec",
+        "value": round(el, 1),
+        "unit": "sec",
+        "cpus": cpus,
+        "n_pages": n,
+        "n_graph_rows": rows,
+        "docs_per_min": round(n / el * 60.0, 1),
+    }
+
+
+def scaling_run(n_pages: int | None = None) -> None:
+    """The N-vs-4N scaling evidence job (north_rule): the same e2e
+    pages -> extract -> exact kNN-graph pipeline.
+
+    `--scaling`        one run at SPARK_GRAFT_CPUS cores.
+    `--scaling-pair N` back-to-back runs at N and 4N cores + the
+                       efficiency ratio in one JSON line — the r3
+                       methodology (BENCH.md).  Prefer N=1 (1 vs 4):
+                       at 8+ threads the single socket's DRAM
+                       bandwidth saturates and the ratio measures the
+                       hardware, not the plan.
+    """
+    n_pages = n_pages or int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "2000000"))
+    if "--scaling-pair" in sys.argv:
+        i = sys.argv.index("--scaling-pair")
+        n = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 else 1
+        lo = _one_scaling_run(n, n_pages)
+        hi = _one_scaling_run(4 * n, n_pages)
+        eff = lo["value"] / hi["value"] / 4.0
+        print(
+            json.dumps(
+                {
+                    "metric": "scaling_pair_efficiency",
+                    "value": round(eff, 3),
+                    "unit": "ratio",
+                    "pair": f"local[{n}] -> local[{4 * n}]",
+                    "runs": [lo, hi],
+                }
+            )
+        )
+        return
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    print(json.dumps(_one_scaling_run(cpus, n_pages)))
 
 
 def main() -> None:
-    if "--scaling" in sys.argv:
+    if "--scaling" in sys.argv or "--scaling-pair" in sys.argv:
         scaling_run()
         return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
