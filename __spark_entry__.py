@@ -294,6 +294,32 @@ def q_host_cap(spark, sf_dir):
     return per_host_cap(d, 10, order_col="doc_id").select("doc_id", "host")
 
 
+def q_corpus_build(spark, sf_dir):
+    """The FULL composed corpus-build pipeline in one Catalyst plan:
+    exact-dedup survivors ∩ language ∩ quality gates, then the
+    per-host contribution cap (max 5 per host, quality-ordered so the
+    cap keeps the BEST docs) — every stage a 100 TB corpus run
+    actually chains, no UDFs anywhere."""
+    from rindex_spark.functions.web import per_host_cap
+
+    d = _docs(spark, sf_dir)
+    stats = with_text_stats(d).withColumn("lang_pred", lang_id(F.col("text")))
+    keep = dedup_exact(d).select(F.col("keep_id").alias("doc_id"))
+    gated = (
+        stats.join(keep, "doc_id", "left_semi")
+        .filter(
+            (F.col("lang_pred") == "en")
+            & (F.col("quality_score") >= 0.5)
+            & (F.col("n_tokens") >= 20)
+        )
+        .withColumn("host", F.col("source"))
+        .withColumn("neg_q", -F.col("quality_score"))
+    )
+    return per_host_cap(gated, 5, order_col="neg_q").select(
+        "doc_id", "host", "n_tokens", "quality_score"
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     return dedup_exact(_docs(spark, sf_dir))
 
@@ -440,6 +466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygon_raster": q_polygon_raster,
         "text_stats": q_text_stats,
         "corpus_filter": q_corpus_filter,
+        "corpus_build": q_corpus_build,
         "host_stats": q_host_stats,
         "host_cap": q_host_cap,
         "dedup_exact": q_dedup_exact,
@@ -661,6 +688,24 @@ WITH r AS (
 )
 SELECT doc_id, host FROM r WHERE rn <= 10
 """
+    sql["corpus_build"] = f"""
+WITH s AS ({{TEXT_STATS}}),
+l AS ({{LANG_SQL2}}),
+k AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+gated AS (
+  SELECT s.doc_id, d.source AS host, s.n_tokens, s.quality_score
+  FROM s
+  JOIN documents d ON d.doc_id = s.doc_id
+  JOIN l ON l.doc_id = s.doc_id
+  JOIN k ON k.doc_id = s.doc_id
+  WHERE l.lang_pred = 'en' AND s.quality_score >= 0.5 AND s.n_tokens >= 20
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY host ORDER BY -quality_score, doc_id) AS rn
+  FROM gated
+)
+SELECT doc_id, host, n_tokens, quality_score FROM r WHERE rn <= 5
+"""
     sql["dedup_exact"] = """
 SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keep_id
 FROM documents GROUP BY md5(text)
@@ -732,6 +777,11 @@ SELECT doc_id,
 FROM s
 """
     sql["corpus_filter"] = sql["corpus_filter"].replace("{LANG_SQL}", sql["lang_detect"])
+    sql["corpus_build"] = (
+        sql["corpus_build"]
+        .replace("{TEXT_STATS}", sql["text_stats"])
+        .replace("{LANG_SQL2}", sql["lang_detect"])
+    )
     sql["multimodal_features"] = """
 WITH m AS (SELECT unnest(generate_series(0, 199)) AS media_id),
 j AS (SELECT unnest(generate_series(0, 63)) AS pos),
