@@ -275,6 +275,30 @@ def main() -> None:
         lambda: ngram_jaccard_pairs(docs_skew, threshold=0.5, max_df=100).count(),
     )
 
+    # dynamic micro-batch: delete 1/16 of the points from a built index
+    # and incrementally repair the graph (reference ops 2-3 at suite
+    # scale; the repair must search only the affected srcs' rings)
+    from rindex_spark.plans.batches import IndexState, apply_batch
+
+    dels = pts.filter((F.col("id") % 16) == 0).select("id")
+    n_dels = dels.count()
+
+    def _dynamic():
+        st = IndexState(points=pts, graph=graph, k=k)
+        st2 = apply_batch(
+            st,
+            spark.createDataFrame([], "id long, x double, y double"),
+            dels,
+            spec=spec,
+            cfg=cfg,
+            n_inserts=0,
+            n_deletes=n_dels,
+            materialize=False,
+        )
+        return st2.graph.count()
+
+    bench("dynamic_delete_repair", _dynamic)
+
     qe = emb.filter((F.col("vec_id") % 10) == 0).select(
         F.col("vec_id").alias("qid"), "embedding"
     )
