@@ -35,19 +35,15 @@ from pyspark.sql.types import ArrayType, LongType
 
 def _dot(a, b):
     """JVM-side dot product of two array columns in double precision,
-    summed left-to-right (deterministic op order).  Kept for small /
-    one-off expressions; the candidate-pair hot paths use
-    ``pair_cosine_udf`` (same IEEE op order, ~100x less interpreter
-    overhead — Catalyst evaluates higher-order lambdas per ELEMENT)."""
+    summed left-to-right (deterministic op order).  Kept for one-off
+    column expressions and as the measured comparison point for
+    ``pair_cosine_udf`` (same IEEE op order; the UDF is 1.2-1.9x
+    faster at 200k pairs — BENCH.md)."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-
-
-def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    return df.withColumn("_norm", F.sqrt(_dot(F.col(vec_col), F.col(vec_col))))
 
 
 def _pair_cosine_kernel(a: pd.Series, b: pd.Series) -> pd.Series:

@@ -607,7 +607,7 @@ def knn_for_queries(
     if not ext["n"]:
         return spark.createDataFrame([], out_schema)
     if spec is None:
-        from rindex_spark.grid import grid_from_extent, infer_grid_adaptive
+        from rindex_spark.grid import grid_from_extent
 
         spec = grid_from_extent(ext, cfg)
         # density-adaptive shrink: skewed (clustered/urban) data makes
