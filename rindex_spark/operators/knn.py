@@ -736,7 +736,9 @@ def knn_for_queries(
     # keep each task's Arrow/pandas overhead O(1); the UDF slices
     # subgroups out with one sort + searchsorted.  4x parallelism gives
     # AQE room to balance without making buckets per-group-small again.
-    n_buckets = max(64, spark.sparkContext.defaultParallelism * 4)
+    n_buckets = int(
+        os.environ.get("RINDEX_KNN_BUCKETS", 0)
+    ) or max(64, spark.sparkContext.defaultParallelism * 4)
     # gk: the (supercell, window, salt) identity packed into ONE long
     # (xxhash64) — candidates ship 1 key column instead of 5 (40 of the
     # 64 bytes/row of the big shuffle side); see _fn on why collisions

@@ -245,6 +245,28 @@ def test_knn_queries_far_outside_extent(spark):
     assert {rows[1]["id"], rows[2]["id"]} == {89, 98}
 
 
+def test_single_bucket_cogroup_exact(spark, monkeypatch):
+    """Adversarial grouping: force EVERY supercell subgroup into one
+    cogroup bucket (RINDEX_KNN_BUCKETS=1).  The kernel's sorted
+    single-key subgroup slicing (and the packed-gk superset-merge
+    argument) must keep results exact under maximal collision."""
+    import os
+
+    monkeypatch.setitem(os.environ, "RINDEX_KNN_BUCKETS", "1")
+    rng = np.random.default_rng(29)
+    coords = np.concatenate(
+        [
+            rng.normal((40.0, 40.0), 4.0, size=(120, 2)),
+            rng.uniform(-100.0, 100.0, size=(180, 2)),
+        ]
+    )
+    k = 7
+    pts = make_points(spark, coords).cache()
+    graph = build_knn_graph(pts, k)
+    oracle = brute_knn(coords, np.arange(len(coords)), k)
+    check_graph_vs_oracle(graph.collect(), oracle)
+
+
 def test_asymmetric_extent_grid(spark):
     """Regression: cell y-indices must use the Y origin.  With x0 != y0
     (asymmetric bbox) a shared-origin grid silently breaks every
