@@ -177,8 +177,9 @@ def main() -> None:
     verbose = bool(os.environ.get("RINDEX_BENCH_VERBOSE"))
     # the sandbox runs on shared hardware with noisy-neighbor variance
     # (identical queries measured 2-4x apart minutes apart); best-of-N
-    # reports the capability of the plan, not the weather.  N=2 default.
-    repeats = int(os.environ.get("RINDEX_BENCH_REPEATS", "2"))
+    # reports the capability of the plan, not the weather.  N=3 default
+    # (the tiny UDF-heavy entries fluctuate most at 32 threads).
+    repeats = int(os.environ.get("RINDEX_BENCH_REPEATS", "3"))
 
     def bench(name: str, fn):
         best, out = None, None
