@@ -676,8 +676,8 @@ WHERE l.lang_pred = 'en' AND s.quality_score >= 0.5 AND s.n_tokens >= 20
 SELECT source AS host,
        count(*) AS n_docs,
        count(DISTINCT lang) AS n_langs,
-       sum(length(text)) AS sum_chars,
-       sum(length(text)) / count(*) AS avg_chars
+       CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+       CAST(sum(length(text)) AS DOUBLE) / count(*) AS avg_chars
 FROM documents GROUP BY source
 """
     sql["host_cap"] = """

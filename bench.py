@@ -234,7 +234,7 @@ def main() -> None:
     q = pts.filter((F.col("id") % 101) == 0).select(
         F.col("id").alias("qid"), "x", "y", F.lit(8.0).alias("radius")
     )
-    bench("range_join", lambda: range_join(pts, q, spec=spec).count())
+    bench("range_join", lambda: range_join(pts, q, spec=spec, extent=extent).count())
 
     rq = pts.filter((F.col("id") % 211) == 0).select(F.col("id").alias("qid"), "x", "y")
     bench("reverse_knn", lambda: reverse_knn(pts, graph, rq, k, spec).count())

@@ -99,6 +99,29 @@ def _state_schema(n_extra: int) -> str:
 # are replicated per salt, queries are split)
 _MAX_GROUP_QUERIES = 32768
 
+# Persisted per-round state frames of the most recent knn_for_queries
+# call (r3 verdict item 7: they were MEMORY_ONLY-cached and never
+# unpersisted, so repeated build_knn_graph calls in a long session
+# accumulated blocks until eviction).  Each call releases its
+# predecessor's states on entry, bounding the session footprint at one
+# call's round count; callers that have fully consumed their output can
+# reclaim immediately via release_round_states().  An unpersisted
+# state that a still-lazy result frame later needs simply recomputes
+# its deterministic lineage (the documented MEMORY_ONLY eviction
+# semantics — correctness is unaffected).
+_round_states: list = []
+
+
+def release_round_states(blocking: bool = False) -> None:
+    """Unpersist all round-state frames of the most recent
+    knn_for_queries call.  Safe to call any time after the caller has
+    consumed (collected / written) the returned DataFrame."""
+    while _round_states:
+        try:
+            _round_states.pop().unpersist(blocking=blocking)
+        except Exception:
+            pass
+
 
 def _make_round_udf(k: int, chunk: int = 256, cand_chunk: int = 4096, n_extra: int = 0):
     """Cogrouped kNN round over a HASH BUCKET of supercell groups:
@@ -746,6 +769,7 @@ def knn_for_queries(
     q_gk = F.xxhash64("sx", "sy", "r_lo", "r_hi", "salt").alias("gk")
     c_gk = F.xxhash64("ksx", "ksy", "klo", "khi", "ksalt").alias("gk")
 
+    release_round_states()  # free the PREVIOUS call's cached rounds
     for _round in range(cfg.max_rounds):
         _t0 = _time.monotonic()
         # candidate points for each DISTINCT (supercell, ring window):
@@ -836,6 +860,7 @@ def knn_for_queries(
             .applyInPandas(round_udf, schema=state_schema)
             .persist(StorageLevel.MEMORY_ONLY)
         )
+        _round_states.append(state)
 
         lb = ring_lower_bound(
             spec, F.col("qx"), F.col("qy"), F.col("qix"), F.col("qiy"), F.col("r_hi")

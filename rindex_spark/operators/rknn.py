@@ -32,6 +32,22 @@ from rindex_spark.functions.distance import euclidean
 from rindex_spark.grid import cell_min_dist, explode_block, with_cells
 from rindex_spark.operators.stats import knn_dist
 
+# Most-recent persisted per-cell stats frame (r3 advisor: repeated
+# reverse_knn calls in a long session accumulated MEMORY_ONLY blocks).
+# Each call unpersists its predecessor on entry — the in-call cache
+# benefit (the stats agg job + the result join share one
+# materialization) is kept, and the session-wide footprint is bounded
+# at ONE cell-count-sized frame.
+_last_stats: list = []
+
+
+def _release_last_stats() -> None:
+    while _last_stats:
+        try:
+            _last_stats.pop().unpersist(blocking=False)
+        except Exception:
+            pass
+
 
 def reverse_knn(
     points: DataFrame,
@@ -58,6 +74,7 @@ def reverse_knn(
     pts = with_cells(points.select("id", "x", "y"), spec).join(kd, "id", "left")
     pts = pts.na.fill({"knn_dist": float("inf")})
 
+    _release_last_stats()
     stats = (
         pts.groupBy("ix", "iy")
         .agg(F.max("knn_dist").alias("max_knn_dist"))
@@ -65,6 +82,7 @@ def reverse_knn(
         .withColumnRenamed("iy", "ciy")
         .persist(StorageLevel.MEMORY_ONLY)
     )
+    _last_stats.append(stats)
     import math
 
     srow = stats.agg(

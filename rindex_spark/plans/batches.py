@@ -256,8 +256,12 @@ def slice_ops(ops: DataFrame, batch_size: int | None):
     if not n_ops:
         return None, 0, 0
     bs = batch_size or int(row["hi"] - row["lo"] + 1)
+    # pure LONG arithmetic via integer DIV (r3 advisor: floor() of a
+    # double ratio can misassign boundary rows once seq spans exceed
+    # 2^53; seq - lo >= 0 so DIV == floor division)
     sliced = ops.withColumn(
-        "_batch", F.floor((F.col("seq") - F.lit(int(row["lo"]))) / F.lit(bs)).cast("long")
+        "_batch",
+        F.expr(f"CAST((seq - {int(row['lo'])}) DIV {int(bs)} AS LONG)"),
     )
     n_batches = int((row["hi"] - row["lo"]) // bs) + 1
     return sliced, n_batches, n_ops

@@ -234,6 +234,61 @@ def test_range_join_extent_scale_radius(spark):
     assert small == exp_small
 
 
+def test_range_join_extent_param_zero_jobs_same_result(spark):
+    """r3 verdict item 2: with spec= AND extent= supplied, range_join
+    must launch ZERO fixed driver jobs at plan-construction time (the
+    span guard becomes arithmetic), and the result must be identical to
+    the legacy aggregate path."""
+    from rindex_spark.grid import grid_and_extent
+
+    rng = np.random.default_rng(23)
+    coords = rng.uniform(-50.0, 50.0, size=(200, 2))
+    pts = make_points(spark, coords).cache()
+    pts.count()
+    cfg = EngineConfig()
+    spec, extent = grid_and_extent(pts, cfg)
+    q = spark.createDataFrame(
+        [(0, 0.0, 0.0, 10.0), (1, 20.0, -20.0, 500.0)],
+        "qid long, x double, y double, radius double",
+    )
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None))
+    res = range_join(pts, q, spec=spec, extent=extent)  # construction only
+    after = len(tracker.getJobIdsForGroup(None))
+    assert after == before, "extent= path must not launch driver jobs"
+    got = sorted((r["qid"], r["id"]) for r in res.collect())
+    legacy = sorted(
+        (r["qid"], r["id"]) for r in range_join(pts, q, spec=spec).collect()
+    )
+    assert got == legacy and len(got) > 0
+
+
+def test_knn_round_states_released_across_calls(spark):
+    """r3 verdict item 7: repeated build_knn_graph calls must not
+    accumulate persisted round states — each call frees its
+    predecessor's, and release_round_states() returns the persisted-RDD
+    count to baseline."""
+    from rindex_spark.operators import knn as knn_mod
+
+    rng = np.random.default_rng(29)
+    coords = rng.uniform(-50.0, 50.0, size=(300, 2))
+    pts = make_points(spark, coords).cache()
+    pts.count()
+    # flush any round states left over from earlier tests in this
+    # session so the baseline is clean
+    knn_mod.release_round_states(blocking=True)
+    baseline = spark.sparkContext._jsc.getPersistentRDDs().size()
+    counts = []
+    for _ in range(3):
+        g = build_knn_graph(pts, 5)
+        assert g.count() == 300 * 5
+        counts.append(spark.sparkContext._jsc.getPersistentRDDs().size())
+    # flat across calls: call N+1's entry released call N's states
+    assert counts[1] == counts[0] and counts[2] == counts[1]
+    knn_mod.release_round_states(blocking=True)
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == baseline
+
+
 def test_knn_queries_far_outside_extent(spark):
     # a query far from the data must still be exact (ring backstop)
     coords = [(float(i % 10), float(i // 10)) for i in range(100)]
