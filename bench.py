@@ -295,6 +295,7 @@ def main() -> None:
             n_inserts=0,
             n_deletes=n_dels,
             materialize=False,
+            extent=extent,
         )
         return st2.graph.count()
 

@@ -42,6 +42,8 @@ the dead half of the repair (the common case in streaming ingest).
 
 from __future__ import annotations
 
+import os
+import time as _time
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, Window
@@ -86,6 +88,7 @@ def apply_batch(
     n_inserts: int | None = None,
     n_deletes: int | None = None,
     materialize: bool = True,
+    extent=None,
 ) -> IndexState:
     """Fold one micro-batch of ops into the state.
 
@@ -96,6 +99,14 @@ def apply_batch(
     n_inserts / n_deletes: optional driver-known batch sizes; passing 0
                 lets the dead half of the repair be skipped without a
                 count job.
+    extent:     optional extent row/dict of state.points (n, xmin,
+                xmax, ymin, ymax).  The folded extent is derived
+                arithmetically — n adjusts exactly by the op counts
+                (ids are unique by contract); bounds widen by the
+                insert batch's bbox (one insert-batch-sized agg) and
+                never shrink on delete (a superset bbox only pads the
+                ring backstop, still exact) — so the repair search
+                launches no data-sized extent job.
     materialize=False returns the new graph LAZY — callers that
     immediately persist the state (the checkpointing replay loop) must
     pass False.  NEVER chain many materialize=True batches in memory:
@@ -116,6 +127,20 @@ def apply_batch(
 
     has_ins = n_inserts > 0
     has_del = n_deletes > 0
+    # per-stage wall-clock profile (RINDEX_DEBUG_TIMING=1; debug only —
+    # the stage marks piggyback on jobs the plan runs anyway, except the
+    # rk_pairs/full_q counts which are query-scale)
+    debug = bool(os.environ.get("RINDEX_DEBUG_TIMING"))
+    _t = _time.monotonic()
+
+    def _mark(label: str) -> None:
+        nonlocal _t
+        if debug:
+            print(
+                f"[apply_batch] {label}: {_time.monotonic() - _t:.2f}s",
+                flush=True,
+            )
+        _t = _time.monotonic()
 
     # 1. fold the point set
     new_points = state.points
@@ -128,6 +153,7 @@ def apply_batch(
     # batch — superlinear slowdown over a long op stream.
     n_part = max(state.points.sparkSession.sparkContext.defaultParallelism, 2)
     new_points = new_points.coalesce(n_part).localCheckpoint(eager=True)
+    _mark("fold_points")
     if spec is None:
         spec = infer_grid(new_points, cfg)
     spark = new_points.sparkSession
@@ -161,6 +187,7 @@ def apply_batch(
             .coalesce(n_part)
             .localCheckpoint(eager=True)
         )
+        _mark("gain_capture (reverse_knn of inserts)")
         gained = rk_pairs.select("src").distinct()
         full_src = lost.unionByName(inserts.select(F.col("id").alias("src"))).distinct()
         merge_src = gained.join(full_src, "src", "left_anti")
@@ -194,18 +221,52 @@ def apply_batch(
         )
         parts.append(merged)
 
-    # full-recompute path: exact cell-ring search for new points + losers
-    full_q = new_points.join(
-        full_src, new_points["id"] == full_src["src"], "left_semi"
+    # full-recompute path: exact cell-ring search for new points + losers.
+    # The affected-query set is checkpointed ONCE (query-scale): the
+    # ring rounds re-reference it, re-deriving it would re-scan the
+    # graph-sized lost/semi-join subtree, and the checkpoint makes the
+    # count below free — which lets a batch whose repair set is empty
+    # (e.g. deletes of isolated points nobody held as a neighbor) skip
+    # the whole ring machinery (r3 verdict item 5).
+    full_q = (
+        new_points.join(full_src, new_points["id"] == full_src["src"], "left_semi")
+        .select(F.col("id").alias("qid"), "x", "y")
+        .coalesce(n_part)
+        .localCheckpoint(eager=True)
     )
-    recomputed = knn_for_queries(
-        new_points,
-        full_q.select(F.col("id").alias("qid"), "x", "y"),
-        k,
-        spec=spec,
-        cfg=cfg,
-    ).select(F.col("qid").alias("src"), F.col("id").alias("dst"), "dist", "rank")
-    parts.append(recomputed)
+    n_affected = full_q.count()
+    _mark(f"affected_set (n={n_affected})")
+    if extent is not None:
+        folded_ext = {
+            "n": int(extent["n"]) + n_inserts - n_deletes,
+            "xmin": extent["xmin"],
+            "xmax": extent["xmax"],
+            "ymin": extent["ymin"],
+            "ymax": extent["ymax"],
+        }
+        if has_ins:
+            ibox = inserts.agg(
+                F.min("x").alias("xmin"), F.max("x").alias("xmax"),
+                F.min("y").alias("ymin"), F.max("y").alias("ymax"),
+            ).collect()[0]
+            folded_ext["xmin"] = min(folded_ext["xmin"], ibox["xmin"])
+            folded_ext["xmax"] = max(folded_ext["xmax"], ibox["xmax"])
+            folded_ext["ymin"] = min(folded_ext["ymin"], ibox["ymin"])
+            folded_ext["ymax"] = max(folded_ext["ymax"], ibox["ymax"])
+    else:
+        folded_ext = None
+    if n_affected:
+        # full_q ⊆ new_points by construction (lost srcs survive the
+        # fold; inserted ids are in it), so the query-extent job is
+        # skipped too
+        recomputed = knn_for_queries(
+            new_points, full_q, k, spec=spec, cfg=cfg,
+            extent=folded_ext, queries_within_extent=True,
+        ).select(F.col("qid").alias("src"), F.col("id").alias("dst"), "dist", "rank")
+        parts.append(recomputed)
+        if debug:
+            recomputed.count()
+            _mark("ring_recompute")
 
     new_graph = untouched.select("src", "dst", "dist", "rank")
     for p in parts:
