@@ -31,23 +31,37 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 
-def _one_scaling_run(cpus: int, n_pages: int) -> dict:
+def _one_scaling_run(cpus: int, n_pages: int, master: str | None = None) -> dict:
     """One e2e pages -> extract -> exact kNN-graph run at ``cpus``
-    cores; returns the result record (fresh SparkSession per run so
-    core counts never share a JVM)."""
+    total cores; returns the result record (fresh SparkSession per run
+    so core counts never share a JVM).
+
+    ``master`` overrides the default ``local[cpus]`` — the
+    ``--scaling-pair-mp`` mode passes ``local-cluster[2,c,mem]`` so the
+    two ends run in SEPARATE executor JVMs (2 workers × c cores), the
+    closest this sandbox gets to the north_rule's N vs 4N EXECUTORS
+    without a real cluster (r3 verdict item 6: de-confound the
+    in-socket 2→8 pair from shared-JVM effects)."""
     import time as _t
 
     from pyspark.sql import SparkSession
 
-    spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
+    builder = (
+        SparkSession.builder.master(master or f"local[{cpus}]")
         .appName("rindex-spark-scaling")
         .config("spark.sql.shuffle.partitions", "64")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", "48g")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    if master and master.startswith("local-cluster"):
+        # executors are separate JVMs: they need the package on their
+        # python path, and each gets its own (smaller) heap
+        builder = builder.config(
+            "spark.executorEnv.PYTHONPATH",
+            str(Path(__file__).resolve().parent),
+        )
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     from rindex_spark.datagen import generate_pages
@@ -92,6 +106,32 @@ def scaling_run(n_pages: int | None = None) -> None:
                        hardware, not the plan.
     """
     n_pages = n_pages or int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "2000000"))
+    if "--scaling-pair-mp" in sys.argv:
+        # multi-PROCESS pair: 2 worker JVMs × c cores vs 2 × 4c —
+        # executors are separate processes with their own heaps and
+        # python workers, so the 4N end isn't one shared JVM (the
+        # in-socket DRAM confound of the plain 2→8 pair is still
+        # present — same machine — but GC/JVM sharing is not).
+        i = sys.argv.index("--scaling-pair-mp")
+        c = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 else 1
+        mem = int(os.environ.get("SPARK_GRAFT_EXEC_MEM_MB", "24576"))
+        lo = _one_scaling_run(2 * c, n_pages, master=f"local-cluster[2,{c},{mem}]")
+        hi = _one_scaling_run(
+            2 * 4 * c, n_pages, master=f"local-cluster[2,{4 * c},{mem}]"
+        )
+        eff = lo["value"] / hi["value"] / 4.0
+        print(
+            json.dumps(
+                {
+                    "metric": "scaling_pair_mp_efficiency",
+                    "value": round(eff, 3),
+                    "unit": "ratio",
+                    "pair": f"2x{c}-core JVMs -> 2x{4 * c}-core JVMs",
+                    "runs": [lo, hi],
+                }
+            )
+        )
+        return
     if "--scaling-pair" in sys.argv:
         i = sys.argv.index("--scaling-pair")
         n = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 else 1
@@ -115,7 +155,11 @@ def scaling_run(n_pages: int | None = None) -> None:
 
 
 def main() -> None:
-    if "--scaling" in sys.argv or "--scaling-pair" in sys.argv:
+    if (
+        "--scaling" in sys.argv
+        or "--scaling-pair" in sys.argv
+        or "--scaling-pair-mp" in sys.argv
+    ):
         scaling_run()
         return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

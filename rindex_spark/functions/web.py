@@ -24,16 +24,45 @@ def url_host(url: Column) -> Column:
     return F.lower(F.try_parse_url(url, F.lit("HOST")))
 
 
-def registered_domain(host: Column) -> Column:
-    """Last-two-labels approximation of the registered domain
-    (``news.example.com -> example.com``).
+def registered_domain(host: Column, suffixes=None) -> Column:
+    """Registered domain of a host (``news.example.com -> example.com``).
 
-    HONEST LIMITATION: a correct registered domain needs the Mozilla
-    public-suffix list (``co.uk`` has three labels) — external data
-    this engine does not ship.  The two-label heuristic is exact for
-    generic TLDs and documented-wrong for ccSLDs; callers needing PSL
-    accuracy should broadcast-join their own suffix table."""
-    return F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    Without ``suffixes``: the last-two-labels approximation — exact for
+    generic TLDs, documented-wrong for ccSLDs (``co.uk`` has three
+    labels; correctness there needs the Mozilla public-suffix list,
+    external data this engine does not ship).
+
+    With ``suffixes`` (r3 verdict item 8 — PSL correctness becomes a
+    DATA injection, not a code change): an iterable of public-suffix
+    strings, or a single-column DataFrame of them (dimension-table
+    sized, ~10k rows for the full PSL, so the driver collect is
+    bounded).  Longest matching suffix wins; the registered domain is
+    that suffix plus one label.  Hosts matching no suffix fall back to
+    the two-label heuristic.  The match compiles to per-label-count
+    ``isin`` sets — a pure column expression (Catalyst turns big
+    literal lists into hash-set InSet lookups), so it runs inside
+    whole-stage codegen at any corpus scale: no join, no shuffle, no
+    Python.  PSL wildcard (``*.ck``) and exception (``!``) entries are
+    not supported and are skipped; pre-expand them if needed."""
+    fallback = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    if suffixes is None:
+        return fallback
+    if hasattr(suffixes, "collect"):  # DataFrame: one suffix per row
+        suffixes = [r[0] for r in suffixes.collect()]
+    by_n: dict[int, list[str]] = {}
+    for s in suffixes:
+        s = str(s).strip().lower().lstrip(".")
+        if not s or s.startswith("//") or "*" in s or s.startswith("!"):
+            continue
+        by_n.setdefault(s.count(".") + 1, []).append(s)
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    branches = []
+    for k in sorted(by_n, reverse=True):  # longest suffix wins
+        tail = F.array_join(F.slice(labels, -k, k), ".")
+        reg = F.array_join(F.slice(labels, -(k + 1), k + 1), ".")
+        branches.append(F.when((n > k) & tail.isin(by_n[k]), reg))
+    return F.coalesce(*branches, fallback)
 
 
 def host_stats(

@@ -38,6 +38,39 @@ def test_url_host_and_registered_domain(spark):
     assert got[3][0] is None
 
 
+def test_registered_domain_with_suffix_table(spark):
+    """r3 verdict item 8: PSL correctness as a data injection — a
+    broadcast-able suffix table makes ccSLDs resolve correctly, with
+    longest-match semantics and a two-label fallback for unknown
+    TLDs.  The suffix list can arrive as a DataFrame or a plain
+    iterable; the match is a pure column expression (no join)."""
+    sfx = spark.createDataFrame(
+        [("uk",), ("co.uk",), ("ac.uk",), ("com",), ("org",)],
+        "suffix string",
+    )
+    rows = [
+        (0, "a.b.co.uk"),      # ccSLD: co.uk is the suffix -> b.co.uk
+        (1, "news.example.com"),
+        (2, "x.ac.uk"),        # exactly suffix + 1 label
+        (3, "foo.bar.baz"),    # unknown TLD -> two-label fallback
+        (4, "co.uk"),          # bare ccSLD: co.uk itself can't match
+                               # (no label left) -> matches 'uk'
+    ]
+    df = spark.createDataFrame(rows, "id long, host string")
+    for table in (sfx, [r["suffix"] for r in sfx.collect()]):
+        got = {
+            r["id"]: r["d"]
+            for r in df.select(
+                "id", registered_domain(F.col("host"), suffixes=table).alias("d")
+            ).collect()
+        }
+        assert got[0] == "b.co.uk"
+        assert got[1] == "example.com"
+        assert got[2] == "x.ac.uk"
+        assert got[3] == "bar.baz"
+        assert got[4] == "co.uk"
+
+
 def test_hot_hosts_zipfian(spark):
     # 1 head host with 500 docs, 50 tail hosts with 4 each
     rows = [(i, "big.com") for i in range(500)] + [
