@@ -51,7 +51,7 @@ from rindex_spark.operators.raster import (  # noqa: E402
 )
 from rindex_spark.operators.rknn import reverse_knn  # noqa: E402
 from rindex_spark.operators.stats import knn_dist  # noqa: E402
-from rindex_spark.operators.tiling import assign_tiles  # noqa: E402
+from rindex_spark.operators.tiling import assign_tiles, tile_pyramid  # noqa: E402
 from rindex_spark.datagen import generate_tiles  # noqa: E402
 from rindex_spark.plans.batches import apply_batch, empty_state  # noqa: E402
 
@@ -181,6 +181,13 @@ def q_cell_stats(spark, sf_dir):
         F.min("y").alias("min_y"),
         F.max("y").alias("max_y"),
     )
+
+
+def q_tile_pyramid(spark, sf_dir):
+    """Multi-resolution tile rollup (operators.tiling.tile_pyramid):
+    3 zoom levels over the fixed oracle grid — the slippy-map pyramid
+    a tiling engine serves, computed in one cell-sized pass."""
+    return tile_pyramid(_points(spark, sf_dir), _SPEC, levels=3)
 
 
 def q_dynamic_fold(spark, sf_dir):
@@ -461,6 +468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_stats": q_cell_stats,
         "dynamic_fold": q_dynamic_fold,
         "pip_tiles": q_pip_tiles,
+        "tile_pyramid": q_tile_pyramid,
         "rasterize": q_rasterize,
         "raster_vector": q_raster_vector,
         "polygon_raster": q_polygon_raster,
@@ -562,6 +570,24 @@ SELECT id, x, y FROM pts WHERE id % 37 = 0
     sql["cardinality"] = f"""
 WITH pts AS ({_PTS_SQL})
 SELECT count(*) AS n_points FROM pts
+"""
+    sql["tile_pyramid"] = f"""
+WITH pts AS ({_PTS_SQL}),
+c AS (SELECT x, y,
+      CAST(floor((x - (-100.0)) / 20.0) AS BIGINT) AS ix,
+      CAST(floor((y - (-100.0)) / 20.0) AS BIGINT) AS iy FROM pts),
+base AS (SELECT ix, iy, count(*) AS n_points,
+         min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
+         FROM c GROUP BY ix, iy),
+lv AS (SELECT b.*, l.level FROM base b
+       CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS level) l)
+SELECT CAST(level AS INTEGER) AS level,
+       CAST(floor(ix / pow(2.0, level)) AS BIGINT) AS tx,
+       CAST(floor(iy / pow(2.0, level)) AS BIGINT) AS ty,
+       CAST(sum(n_points) AS BIGINT) AS n_points,
+       min(min_x) AS min_x, max(max_x) AS max_x,
+       min(min_y) AS min_y, max(max_y) AS max_y
+FROM lv GROUP BY 1, 2, 3
 """
     sql["cell_stats"] = f"""
 WITH pts AS ({_PTS_SQL}),

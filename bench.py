@@ -299,6 +299,13 @@ def main() -> None:
         ).count(),
     )
 
+    from rindex_spark.operators.tiling import tile_pyramid
+
+    bench(
+        "tile_pyramid",
+        lambda: tile_pyramid(pts, spec, levels=6).count(),
+    )
+
     bench(
         "text_pipeline",
         lambda: with_text_stats(docs)

@@ -131,3 +131,65 @@ def assign_tiles(
     return cand.filter(pip(F.col("x"), F.col("y"), F.col("tile_id"))).select(
         "id", "tile_id"
     )
+
+
+def tile_pyramid(
+    points: DataFrame,
+    spec: GridSpec,
+    levels: int = 4,
+    value_col: str | None = None,
+) -> DataFrame:
+    """Multi-resolution tile rollup (slippy-map pyramid): level-0 tiles
+    are the base grid cells; a level-L tile covers a 2^L x 2^L block of
+    base cells (``tx = ix >> L`` — arithmetic shift == floor division,
+    so negative cell indices roll up correctly).  The web-map serving
+    shape: one table answers every zoom level.
+
+    Two-phase plan — the 100 TB shape:
+
+    1. ONE data-sized hash aggregate to base cells (partial+final
+       map-side combine; the shuffle carries |cells| rows, not rows).
+    2. each base-cell row explodes to its ``levels`` ancestors — a
+       CELL-sized explode, never data-sized — and one more (tiny) hash
+       aggregate yields every pyramid level at once.
+
+    Counts re-aggregate exactly and min/max compose, so the rollup is
+    exact at every level; ``value_col`` adds a per-tile sum (beware
+    float sums are addition-order-dependent across partitions — use
+    integer/decimal values where bit-exact rollups matter).
+
+    returns one row per NON-EMPTY tile per level:
+    (level int, tx long, ty long, n_points long,
+     min_x, max_x, min_y, max_y double [, sum_value double])
+    """
+    cols = ["x", "y"] + ([value_col] if value_col else [])
+    pts = with_cells(points.select(*cols), spec)
+    aggs = [
+        F.count(F.lit(1)).alias("n_points"),
+        F.min("x").alias("min_x"),
+        F.max("x").alias("max_x"),
+        F.min("y").alias("min_y"),
+        F.max("y").alias("max_y"),
+    ]
+    if value_col:
+        aggs.append(F.sum(value_col).alias("sum_value"))
+    base = pts.groupBy("ix", "iy").agg(*aggs)
+
+    lv = base.withColumn(
+        "level", F.explode(F.sequence(F.lit(0), F.lit(int(levels) - 1)))
+    )
+    re_aggs = [
+        F.sum("n_points").alias("n_points"),
+        F.min("min_x").alias("min_x"),
+        F.max("max_x").alias("max_x"),
+        F.min("min_y").alias("min_y"),
+        F.max("max_y").alias("max_y"),
+    ]
+    if value_col:
+        re_aggs.append(F.sum("sum_value").alias("sum_value"))
+    return (
+        lv.withColumn("tx", F.expr("shiftright(ix, level)"))
+        .withColumn("ty", F.expr("shiftright(iy, level)"))
+        .groupBy(F.col("level").cast("int").alias("level"), "tx", "ty")
+        .agg(*re_aggs)
+    )

@@ -82,3 +82,67 @@ def test_point_in_poly_nonconvex(spark):
     ys = np.array([1.0, 1.0, 3.0, 3.0, 5.0])
     inside = point_in_poly_np(xs, ys, verts)
     assert inside.tolist() == [True, True, False, True, False]
+
+
+def test_tile_pyramid_exact_rollup(spark):
+    """Every pyramid level must be the exact rollup of level 0 —
+    counts re-aggregate, min/max compose, negative base-cell indices
+    roll up with floor semantics (ix >> L, not trunc-toward-zero)."""
+    from rindex_spark.operators.tiling import tile_pyramid
+
+    rows = [
+        (0, -3.5, -3.5),  # ix=-4: level1 tx=-2, level2 tx=-1
+        (1, 3.5, 3.5),
+        (2, 3.6, 3.6),
+        (3, -0.1, 0.1),   # ix=-1: stays -1 at every level (floor)
+    ]
+    pts = spark.createDataFrame(rows, "id long, x double, y double")
+    spec = GridSpec(cell_size=1.0, x0=0.0, y0=0.0)
+    out = {
+        (r["level"], r["tx"], r["ty"]): (r["n_points"], r["min_x"], r["max_x"])
+        for r in tile_pyramid(pts, spec, levels=3).collect()
+    }
+    assert out[(0, -4, -4)] == (1, -3.5, -3.5)
+    assert out[(1, -2, -2)][0] == 1
+    assert out[(2, -1, -1)][0] == 1
+    assert out[(0, 3, 3)] == (2, 3.5, 3.6)
+    assert out[(1, 1, 1)][0] == 2
+    assert out[(2, 0, 0)][0] == 2
+    assert out[(0, -1, 0)][0] == 1 and out[(2, -1, 0)][0] == 1
+    # per-level totals all equal n
+    import collections
+
+    totals = collections.Counter()
+    for (lvl, _, _), (n, _, _) in out.items():
+        totals[lvl] += n
+    assert totals == {0: 4, 1: 4, 2: 4}
+
+
+def test_tile_pyramid_random_vs_numpy_oracle(spark):
+    """Random points vs a numpy floor-division rollup at every level,
+    including a value-column sum (integer values: bit-exact)."""
+    from rindex_spark.operators.tiling import tile_pyramid
+
+    rng = np.random.default_rng(41)
+    xy = rng.uniform(-50.0, 50.0, size=(500, 2))
+    vals = rng.integers(0, 100, size=500)
+    pts = spark.createDataFrame(
+        [(i, float(x), float(y), int(v)) for i, ((x, y), v) in enumerate(zip(xy, vals))],
+        "id long, x double, y double, v long",
+    )
+    spec = GridSpec(cell_size=7.0, x0=-50.0, y0=-50.0)
+    levels = 4
+    got = {
+        (r["level"], r["tx"], r["ty"]): (r["n_points"], r["sum_value"])
+        for r in tile_pyramid(pts, spec, levels=levels, value_col="v").collect()
+    }
+    ix = np.floor((xy[:, 0] + 50.0) / 7.0).astype(np.int64)
+    iy = np.floor((xy[:, 1] + 50.0) / 7.0).astype(np.int64)
+    exp: dict = {}
+    for lvl in range(levels):
+        tx, ty = ix >> lvl, iy >> lvl
+        for t_x, t_y, v in zip(tx, ty, vals):
+            key = (lvl, int(t_x), int(t_y))
+            n, s = exp.get(key, (0, 0))
+            exp[key] = (n + 1, s + int(v))
+    assert got == exp
