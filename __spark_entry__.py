@@ -36,6 +36,7 @@ from rindex_spark.operators.ann import (  # noqa: E402
     lsh_cosine_topk,
 )
 from rindex_spark.operators.dedup import (  # noqa: E402
+    connected_components,
     dedup_exact,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -335,6 +336,21 @@ def q_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.2, n=3)
 
 
+def q_dedup_components(spark, sf_dir):
+    """Duplicate-cluster closure (operators.dedup.connected_components):
+    deterministic chain pairs (doc_id -> doc_id+1 where doc_id%7 < 3)
+    give 4-node chains — diameter 3, so min-label propagation must
+    actually iterate; the oracle is a DuckDB recursive-CTE transitive
+    closure."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    pairs = (
+        docs.filter((F.col("doc_id") % 7) < 3)
+        .select(F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b"))
+        .join(docs.select(F.col("doc_id").alias("id_b")), "id_b", "left_semi")
+    )
+    return connected_components(pairs)
+
+
 def q_ann_cosine(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     q = emb.filter((F.col("vec_id") % 10) == 0).select(
@@ -478,6 +494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_stats": q_host_stats,
         "host_cap": q_host_cap,
         "dedup_exact": q_dedup_exact,
+        "dedup_components": q_dedup_components,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine": q_ann_cosine,
         "lang_detect": q_lang_detect,
@@ -735,6 +752,21 @@ SELECT doc_id, host, n_tokens, quality_score FROM r WHERE rn <= 5
     sql["dedup_exact"] = """
 SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keep_id
 FROM documents GROUP BY md5(text)
+"""
+    sql["dedup_components"] = """
+WITH RECURSIVE pairs AS (
+  SELECT d.doc_id AS a, d.doc_id + 1 AS b
+  FROM documents d JOIN documents e ON e.doc_id = d.doc_id + 1
+  WHERE d.doc_id % 7 < 3
+),
+edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+nodes AS (SELECT DISTINCT a AS id FROM edges),
+reach AS (
+  SELECT id, id AS r FROM nodes
+  UNION
+  SELECT reach.id, edges.b FROM reach JOIN edges ON reach.r = edges.a
+)
+SELECT id, min(r) AS component FROM reach GROUP BY id
 """
     sql["ngram_jaccard"] = """
 WITH docs AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),

@@ -468,3 +468,100 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Connected components over an undirected pair list — the closure
+    step of near-duplicate dedup: MinHash / SimHash / embedding
+    near-dup emit PAIRS, but "keep one copy per duplicate GROUP" needs
+    the transitive clusters (a~b, b~c => one group {a,b,c}).
+
+    Min-label propagation: every node starts as its own component;
+    each round takes L(v) = min(L(v), min over neighbors L(u)).
+    Converges in O(graph diameter) rounds — near-dup graphs are
+    clique-ish chains, so diameter is small (the reference workload
+    analogue: duplicate clusters, not long paths).  Each round is one
+    edge join + one map-side-combinable min aggregate + one label
+    join, all keyed shuffles; labels are localCheckpoint'ed per round
+    so lineage stays flat.  Nothing driver-side grows with data; the
+    per-round fixpoint check is a count.  For adversarial
+    long-diameter graphs at 100 TB, swap in the large-star/small-star
+    variant (halves the round count); for dedup workloads min-label
+    is the standard and cheaper choice.
+
+    returns (id long, component long): every node that appears in a
+    pair, labeled with the smallest node id reachable from it.
+    """
+    e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    edges = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        neigh_min = (
+            edges.join(
+                labels.select(F.col("id").alias("b"), F.col("comp").alias("nc")),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("nc").alias("nc"))
+        )
+        new_labels = (
+            labels.join(neigh_min.withColumnRenamed("a", "id"), "id", "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce(F.col("nc"), F.col("comp"))).alias(
+                    "comp"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(
+                labels.select("id", F.col("comp").alias("old")), "id"
+            )
+            .filter(F.col("comp") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            "(graph diameter exceeds max_iters)"
+        )
+    return labels.select("id", F.col("comp").alias("component"))
+
+
+def dedup_canonical(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Near-dup dedup end-to-end: keep ONE document per duplicate
+    component (the smallest id — deterministic), plus every document
+    that appears in no pair.  The corpus-side join is a keyed
+    left-anti against the (component-member, keep?) labels — the
+    label table is node-sized (only docs that occur in pairs), far
+    smaller than the corpus, so at web scale this broadcast/shuffles
+    the small side only."""
+    cc = connected_components(pairs, id_a=id_a, id_b=id_b)
+    drop = cc.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return docs.join(drop, id_col, "left_anti")

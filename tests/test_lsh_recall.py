@@ -244,3 +244,77 @@ def test_embedding_near_dup_planted(spark):
     # theta ~= 7 deg -> p_bucket = (1-theta/pi)^14 ~= 0.58 per table;
     # 1-(1-p)^6 ~= 0.995 over 6 tables
     assert recall >= 0.8, f"embedding near-dup recall {recall:.3f} < 0.8"
+
+
+def test_connected_components_vs_union_find(spark):
+    """Random sparse pair graph vs a driver-side union-find oracle:
+    every node must get the min reachable id as its component."""
+    import numpy as np
+
+    from rindex_spark.operators.dedup import connected_components
+
+    rng = np.random.default_rng(53)
+    n = 200
+    pairs = [
+        (int(a), int(b))
+        for a, b in rng.integers(0, n, size=(150, 2))
+        if a != b
+    ]
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    in_pairs = sorted({x for p in pairs for x in p})
+    expected = {x: find(x) for x in in_pairs}
+
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {
+        r["id"]: r["component"] for r in connected_components(df).collect()
+    }
+    assert got == expected
+
+
+def test_connected_components_long_chain_and_canonical(spark):
+    """A 30-node path (diameter 29) forces real multi-round
+    propagation; dedup_canonical keeps exactly min-id per component
+    plus all unpaired docs."""
+    from rindex_spark.operators.dedup import (
+        connected_components,
+        dedup_canonical,
+    )
+
+    chain = [(i, i + 1) for i in range(10, 40)]       # component min 10
+    clique = [(a, b) for a in range(50, 54) for b in range(a + 1, 54)]
+    df = spark.createDataFrame(chain + clique, "id_a long, id_b long")
+    got = {
+        r["id"]: r["component"] for r in connected_components(df).collect()
+    }
+    assert all(got[i] == 10 for i in range(10, 41))
+    assert all(got[i] == 50 for i in range(50, 54))
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(60)], "doc_id long, text string"
+    )
+    kept = sorted(
+        r["doc_id"] for r in dedup_canonical(docs, df).collect()
+    )
+    # kept = min of each component + every unpaired doc
+    expected = sorted(
+        {10, 50} | (set(range(60)) - set(range(10, 41)) - set(range(50, 54)))
+    )
+    assert kept == expected
+
+
+def test_connected_components_empty_pairs(spark):
+    from rindex_spark.operators.dedup import connected_components
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(empty).count() == 0
