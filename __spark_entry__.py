@@ -184,6 +184,22 @@ def q_cell_stats(spark, sf_dir):
     )
 
 
+def q_zorder_key(spark, sf_dir):
+    """Morton (Z-order) layout key per point (grid.z_order_key): the
+    spatial data-lake clustering key, all JVM bit-twiddling.  Oracle
+    reproduces the 5-stage bit spread in SQL."""
+    from rindex_spark.grid import cell_index, z_order_key
+
+    pts = _points(spark, sf_dir)
+    return pts.select(
+        "id",
+        z_order_key(
+            cell_index(_SPEC.x0, _SPEC.cell_size, F.col("x")),
+            cell_index(_SPEC.y0, _SPEC.cell_size, F.col("y")),
+        ).alias("z"),
+    )
+
+
 def q_tile_pyramid(spark, sf_dir):
     """Multi-resolution tile rollup (operators.tiling.tile_pyramid):
     3 zoom levels over the fixed oracle grid — the slippy-map pyramid
@@ -485,6 +501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dynamic_fold": q_dynamic_fold,
         "pip_tiles": q_pip_tiles,
         "tile_pyramid": q_tile_pyramid,
+        "zorder_key": q_zorder_key,
         "rasterize": q_rasterize,
         "raster_vector": q_raster_vector,
         "polygon_raster": q_polygon_raster,
@@ -587,6 +604,25 @@ SELECT id, x, y FROM pts WHERE id % 37 = 0
     sql["cardinality"] = f"""
 WITH pts AS ({_PTS_SQL})
 SELECT count(*) AS n_points FROM pts
+"""
+    sql["zorder_key"] = f"""
+WITH pts AS ({_PTS_SQL}),
+c AS (SELECT id,
+      CAST(floor((x - (-100.0)) / 20.0) AS BIGINT) + 1073741824 AS ux,
+      CAST(floor((y - (-100.0)) / 20.0) AS BIGINT) + 1073741824 AS uy
+      FROM pts),
+s0 AS (SELECT id, ux & 2147483647 AS ux, uy & 2147483647 AS uy FROM c),
+s1 AS (SELECT id, (ux | (ux << 16)) & 281470681808895 AS ux,
+               (uy | (uy << 16)) & 281470681808895 AS uy FROM s0),
+s2 AS (SELECT id, (ux | (ux << 8)) & 71777214294589695 AS ux,
+               (uy | (uy << 8)) & 71777214294589695 AS uy FROM s1),
+s3 AS (SELECT id, (ux | (ux << 4)) & 1085102592571150095 AS ux,
+               (uy | (uy << 4)) & 1085102592571150095 AS uy FROM s2),
+s4 AS (SELECT id, (ux | (ux << 2)) & 3689348814741910323 AS ux,
+               (uy | (uy << 2)) & 3689348814741910323 AS uy FROM s3),
+s5 AS (SELECT id, (ux | (ux << 1)) & 6148914691236517205 AS ux,
+               (uy | (uy << 1)) & 6148914691236517205 AS uy FROM s4)
+SELECT id, ux | (uy << 1) AS z FROM s5
 """
     sql["tile_pyramid"] = f"""
 WITH pts AS ({_PTS_SQL}),

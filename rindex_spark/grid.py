@@ -212,3 +212,58 @@ def cell_min_dist(
     dx = F.greatest(cx_lo - qx, qx - (cx_lo + cs), F.lit(0.0))
     dy = F.greatest(cy_lo - qy, qy - (cy_lo + cs), F.lit(0.0))
     return F.sqrt(dx * dx + dy * dy)
+
+
+_Z_BIAS = 1 << 30  # cell indices supported in [-2^30, 2^30)
+
+
+def _spread_bits(v: Column) -> Column:
+    """Spread the low 31 bits of a non-negative long so bit i lands at
+    position 2i (Morton encoding half) — five shift/mask stages, pure
+    JVM expressions inside whole-stage codegen."""
+    v = v.bitwiseAND(F.lit(0x7FFFFFFF))
+    v = (v.bitwiseOR(F.shiftleft(v, 16))).bitwiseAND(F.lit(0x0000FFFF0000FFFF))
+    v = (v.bitwiseOR(F.shiftleft(v, 8))).bitwiseAND(F.lit(0x00FF00FF00FF00FF))
+    v = (v.bitwiseOR(F.shiftleft(v, 4))).bitwiseAND(F.lit(0x0F0F0F0F0F0F0F0F))
+    v = (v.bitwiseOR(F.shiftleft(v, 2))).bitwiseAND(F.lit(0x3333333333333333))
+    v = (v.bitwiseOR(F.shiftleft(v, 1))).bitwiseAND(F.lit(0x5555555555555555))
+    return v
+
+
+def z_order_key(ix: Column, iy: Column) -> Column:
+    """Morton (Z-order) key of a cell: interleave the bits of the two
+    (bias-shifted) cell indices into one sortable long.  Sorting or
+    range-partitioning a corpus by this key is the standard spatial
+    data-lake LAYOUT move (Delta/Iceberg `Z-ORDER BY`): rows that are
+    near in space land in the same files/partitions, so cell-range
+    scans prune file-level min/max statistics instead of reading the
+    table.  Pure column expressions — no UDF, stays in codegen.
+
+    Valid for cell indices in [-2^30, 2^30); the bias makes the key's
+    unsigned ordering match the natural curve order for negative
+    indices too (62 bits used, always non-negative).
+    """
+    ux = (ix + F.lit(_Z_BIAS)).cast("long")
+    uy = (iy + F.lit(_Z_BIAS)).cast("long")
+    return _spread_bits(ux).bitwiseOR(F.shiftleft(_spread_bits(uy), 1))
+
+
+def cluster_by_zorder(
+    df: DataFrame,
+    spec: GridSpec,
+    n_partitions: int | None = None,
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """Range-partition + sort a point set along the Z-order curve —
+    the write-side layout helper: `cluster_by_zorder(df, spec)
+    .write.parquet(...)` produces files whose (x, y) min/max footprints
+    are spatially tight, so any cell-range predicate prunes most files
+    at scan time.  One exchange (range partitioner over the z key) +
+    an in-partition sort; the key column is dropped from the output."""
+    out = df.withColumn(
+        "_z", z_order_key(cell_index(spec.x0, spec.cell_size, F.col(x)),
+                          cell_index(spec.y0, spec.cell_size, F.col(y)))
+    )
+    n = n_partitions or df.sparkSession.sparkContext.defaultParallelism
+    return out.repartitionByRange(n, "_z").sortWithinPartitions("_z").drop("_z")

@@ -146,3 +146,68 @@ def test_tile_pyramid_random_vs_numpy_oracle(spark):
             n, s = exp.get(key, (0, 0))
             exp[key] = (n + 1, s + int(v))
     assert got == exp
+
+
+def test_zorder_key_matches_python_and_orders_locally(spark):
+    """z_order_key must reproduce the canonical Morton interleave
+    (python int oracle, incl. negative indices) and preserve curve
+    ordering: cells adjacent in z differ by one curve step."""
+    from pyspark.sql import functions as F
+
+    from rindex_spark.grid import z_order_key
+
+    B = 1 << 30
+
+    def spread(v):
+        v &= 0x7FFFFFFF
+        v = (v | (v << 16)) & 0x0000FFFF0000FFFF
+        v = (v | (v << 8)) & 0x00FF00FF00FF00FF
+        v = (v | (v << 4)) & 0x0F0F0F0F0F0F0F0F
+        v = (v | (v << 2)) & 0x3333333333333333
+        v = (v | (v << 1)) & 0x5555555555555555
+        return v
+
+    cells = [(ix, iy) for ix in range(-4, 5) for iy in range(-4, 5)]
+    df = spark.createDataFrame(cells, "ix long, iy long")
+    rows = df.select(
+        "ix", "iy", z_order_key(F.col("ix"), F.col("iy")).alias("z")
+    ).collect()
+    for r in rows:
+        assert r["z"] == (spread(r["ix"] + B) | (spread(r["iy"] + B) << 1))
+        assert r["z"] >= 0
+    # distinct cells -> distinct keys (bijective on the supported range)
+    assert len({r["z"] for r in rows}) == len(cells)
+
+
+def test_cluster_by_zorder_tightens_partition_footprints(spark):
+    """After cluster_by_zorder, each output partition's spatial bbox
+    must be much tighter than the global extent — the property that
+    makes file-level min/max pruning work on a z-laid-out table."""
+    from pyspark.sql import functions as F
+
+    from rindex_spark.config import GridSpec
+    from rindex_spark.grid import cluster_by_zorder
+
+    rng = np.random.default_rng(59)
+    xy = rng.uniform(0.0, 100.0, size=(4000, 2))
+    pts = spark.createDataFrame(
+        [(i, float(x), float(y)) for i, (x, y) in enumerate(xy)],
+        "id long, x double, y double",
+    )
+    spec = GridSpec(cell_size=2.0, x0=0.0, y0=0.0)
+    out = cluster_by_zorder(pts, spec, n_partitions=8)
+    boxes = (
+        out.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.max("x") - F.min("x")).alias("wx"),
+            (F.max("y") - F.min("y")).alias("wy"),
+        )
+        .collect()
+    )
+    assert sum(r["n"] for r in boxes) == 4000  # nothing lost
+    areas = [r["wx"] * r["wy"] for r in boxes if r["n"] > 1]
+    mean_area = sum(areas) / len(areas)
+    # random assignment would give every partition the full 100x100
+    # extent; z-clustering must cut the mean footprint sharply
+    assert mean_area < 100.0 * 100.0 / 3.0, areas
