@@ -30,7 +30,12 @@ from rindex_spark.functions.web import (
     registered_domain,
     url_host,
 )
-from rindex_spark.grid import grid_and_extent, infer_grid
+from rindex_spark.grid import (
+    cluster_by_zorder,
+    grid_and_extent,
+    infer_grid,
+    z_order_key,
+)
 from rindex_spark.operators.ann import (
     cosine_topk,
     embedding_near_dup,
@@ -38,12 +43,18 @@ from rindex_spark.operators.ann import (
     lsh_cosine_topk,
 )
 from rindex_spark.operators.dedup import (
+    connected_components,
+    dedup_canonical,
     dedup_exact,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_pairs,
 )
-from rindex_spark.operators.knn import build_knn_graph, knn_for_queries
+from rindex_spark.operators.knn import (
+    build_knn_graph,
+    knn_for_queries,
+    release_round_states,
+)
 from rindex_spark.operators.range_query import range_join
 from rindex_spark.operators.raster import (
     raster_to_cells_vector,
@@ -51,9 +62,10 @@ from rindex_spark.operators.raster import (
     rasterize_polygons,
 )
 from rindex_spark.operators.rknn import reverse_knn
+from rindex_spark.operators.tiling import assign_tiles, tile_pyramid
 from rindex_spark.operators.stats import cell_stats, index_stats, knn_dist_of, neighbors_of
 
-__version__ = "0.3.0"
+__version__ = "0.4.0"
 
 __all__ = [
     "EngineConfig",
@@ -67,6 +79,7 @@ __all__ = [
     "per_host_cap",
     "build_knn_graph",
     "knn_for_queries",
+    "release_round_states",
     "range_join",
     "reverse_knn",
     "cell_stats",
@@ -78,9 +91,15 @@ __all__ = [
     "ivf_cosine_topk",
     "embedding_near_dup",
     "dedup_exact",
+    "connected_components",
+    "dedup_canonical",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
     "simhash_pairs",
+    "assign_tiles",
+    "tile_pyramid",
+    "z_order_key",
+    "cluster_by_zorder",
     "rasterize_points",
     "raster_to_cells_vector",
     "rasterize_polygons",
