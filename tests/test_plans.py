@@ -58,3 +58,60 @@ def test_exact_dedup_has_partial_aggregate(spark):
     plan = _plan(dedup_exact(docs))
     assert plan.count("HashAggregate") >= 2, plan
     assert "Exchange" in plan
+
+
+def test_tile_pyramid_aggregates_before_explode(spark):
+    """tile_pyramid must aggregate to base cells BEFORE the level
+    explode (the explode is cell-sized, never data-sized) and both
+    aggregates must be map-side-combinable partial+final pairs.  The
+    plan therefore reads: scan -> partial agg -> exchange -> final agg
+    -> generate(explode) -> partial agg -> exchange -> final agg, with
+    exactly one Generate node ABOVE the first aggregate."""
+    from rindex_spark.config import GridSpec
+    from rindex_spark.operators.tiling import tile_pyramid
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    from pyspark.sql import functions as F
+
+    pts = docs.select(
+        F.col("doc_id").alias("id"),
+        (((F.col("doc_id") * 7919) % 20000) / 100.0 - 100.0).alias("x"),
+        (((F.col("doc_id") * 104729) % 20000) / 100.0 - 100.0).alias("y"),
+    )
+    plan = _plan(tile_pyramid(pts, GridSpec(20.0, -100.0, -100.0), levels=3))
+    assert plan.count("HashAggregate") >= 4, plan  # 2x (partial+final)
+    assert plan.count("Generate") == 1, plan      # ONE explode, of cells
+    assert "EvalPython" not in plan, plan
+    # plan toString prints top-down (final ops first), so the Generate
+    # must appear textually AFTER the level-rollup aggregate pair and
+    # BEFORE the base-cell aggregate pair: cell-sized explode, with the
+    # data-sized scan strictly below the first aggregation
+    gen = plan.index("Generate")
+    assert plan[:gen].count("HashAggregate") == 2, plan
+    assert plan[gen:].count("HashAggregate") >= 2, plan
+
+
+def test_zorder_key_is_pure_codegen(spark):
+    """The Morton key must be pure column expressions: whole-stage
+    codegen, no python eval, no exchange (it's a projection)."""
+    from pyspark.sql import functions as F
+
+    from rindex_spark.grid import cell_index, z_order_key
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pts = docs.select(
+        F.col("doc_id").alias("id"),
+        (((F.col("doc_id") * 7919) % 20000) / 100.0 - 100.0).alias("x"),
+        (((F.col("doc_id") * 104729) % 20000) / 100.0 - 100.0).alias("y"),
+    )
+    q = pts.select(
+        "id",
+        z_order_key(
+            cell_index(-100.0, 20.0, F.col("x")),
+            cell_index(-100.0, 20.0, F.col("y")),
+        ).alias("z"),
+    )
+    plan = _plan(q)
+    assert "*(1)" in plan or "WholeStageCodegen" in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "Exchange" not in plan, plan
