@@ -184,6 +184,17 @@ def q_cell_stats(spark, sf_dir):
     )
 
 
+def q_sessionize(spark, sf_dir):
+    """Gap-based clickstream sessionization (operators.sessions):
+    per-user session numbering over the events table, 4h gap."""
+    from rindex_spark.operators.sessions import sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize(ev, gap_sec=14400.0).select(
+        "event_id", "user_id", "session_seq"
+    )
+
+
 def q_zorder_key(spark, sf_dir):
     """Morton (Z-order) layout key per point (grid.z_order_key): the
     spatial data-lake clustering key, all JVM bit-twiddling.  Oracle
@@ -502,6 +513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_tiles": q_pip_tiles,
         "tile_pyramid": q_tile_pyramid,
         "zorder_key": q_zorder_key,
+        "sessionize": q_sessionize,
         "rasterize": q_rasterize,
         "raster_vector": q_raster_vector,
         "polygon_raster": q_polygon_raster,
@@ -604,6 +616,19 @@ SELECT id, x, y FROM pts WHERE id % 37 = 0
     sql["cardinality"] = f"""
 WITH pts AS ({_PTS_SQL})
 SELECT count(*) AS n_points FROM pts
+"""
+    sql["sessionize"] = """
+WITH e AS (SELECT event_id, user_id, ts,
+           epoch_us(ts) AS tus FROM events),
+m AS (SELECT event_id, user_id, ts,
+      CASE WHEN lag(tus) OVER w IS NULL
+                OR tus - lag(tus) OVER w > 14400000000
+           THEN 1 ELSE 0 END AS new_sess
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT event_id, user_id,
+       CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+FROM m
 """
     sql["zorder_key"] = f"""
 WITH pts AS ({_PTS_SQL}),

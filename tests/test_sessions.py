@@ -1,0 +1,52 @@
+"""Gap-based sessionization: exact boundary semantics (strictly
+greater than the gap starts a new session; equal-to-gap continues),
+deterministic tie-breaks, per-session aggregates."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from rindex_spark.operators.sessions import session_stats, sessionize
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ev(eid, uid, sec):
+    return (eid, uid, T0 + dt.timedelta(seconds=sec))
+
+
+def test_sessionize_boundaries_and_ties(spark):
+    rows = [
+        _ev(0, 1, 0.0),
+        _ev(1, 1, 10.0),     # same session (gap 10 <= 30)
+        _ev(2, 1, 40.0),     # gap exactly 30 -> SAME session
+        _ev(3, 1, 70.5),     # gap 30.5 > 30 -> new session
+        _ev(4, 1, 70.5),     # tie on ts: ordered by event_id, gap 0
+        _ev(5, 2, 0.0),      # other user: own numbering
+        _ev(6, 2, 100.0),    # gap 100 > 30 -> session 2
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    got = {
+        r["event_id"]: r["session_seq"]
+        for r in sessionize(ev, gap_sec=30.0).collect()
+    }
+    assert got == {0: 1, 1: 1, 2: 1, 3: 2, 4: 2, 5: 1, 6: 2}
+
+
+def test_session_stats_aggregates(spark):
+    rows = [
+        _ev(0, 7, 0.0),
+        _ev(1, 7, 20.0),
+        _ev(2, 7, 1000.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp"
+    ).withColumn("value", F.col("event_id") * 2.0)
+    out = {
+        (r["user_id"], r["session_seq"]): (r["n_events"], r["duration_sec"], r["sum_value"])
+        for r in session_stats(ev, gap_sec=30.0, value_col="value").collect()
+    }
+    assert out[(7, 1)] == (2, 20.0, 2.0)
+    assert out[(7, 2)] == (1, 0.0, 4.0)
