@@ -195,6 +195,23 @@ def q_sessionize(spark, sf_dir):
     )
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join (operators.temporal.asof_join): each even-stream
+    event picks up the latest odd-stream event of the same user at or
+    before its timestamp.  Oracle is DuckDB's native ASOF LEFT JOIN."""
+    from rindex_spark.operators.temporal import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    l = ev.filter((F.col("event_id") % 3) == 0).select("event_id", "user_id", "ts")
+    r = ev.filter((F.col("event_id") % 3) == 1).select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return asof_join(
+        l, r, key_cols=["user_id"], ts_col="ts",
+        right_cols=["event_id", "value"], right_id_col="event_id",
+    ).select("event_id", "user_id", "r_event_id", "r_value")
+
+
 def q_zorder_key(spark, sf_dir):
     """Morton (Z-order) layout key per point (grid.z_order_key): the
     spatial data-lake clustering key, all JVM bit-twiddling.  Oracle
@@ -514,6 +531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_pyramid": q_tile_pyramid,
         "zorder_key": q_zorder_key,
         "sessionize": q_sessionize,
+        "asof_join": q_asof_join,
         "rasterize": q_rasterize,
         "raster_vector": q_raster_vector,
         "polygon_raster": q_polygon_raster,
@@ -629,6 +647,13 @@ SELECT event_id, user_id,
        CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
 FROM m
+"""
+    sql["asof_join"] = """
+SELECT l.event_id, l.user_id, r.event_id AS r_event_id, r.value AS r_value
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_id % 3 = 0) l
+ASOF LEFT JOIN
+     (SELECT event_id, user_id, ts, value FROM events WHERE event_id % 3 = 1) r
+ON l.user_id = r.user_id AND l.ts >= r.ts
 """
     sql["zorder_key"] = f"""
 WITH pts AS ({_PTS_SQL}),

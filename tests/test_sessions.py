@@ -50,3 +50,49 @@ def test_session_stats_aggregates(spark):
     }
     assert out[(7, 1)] == (2, 20.0, 2.0)
     assert out[(7, 2)] == (1, 0.0, 4.0)
+
+
+def test_asof_join_semantics(spark):
+    """Inclusive vs strict boundary, no-prior-match nulls, and the
+    deterministic tie-break among equal-timestamp right rows."""
+    from rindex_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [
+            (0, 1, T0 + dt.timedelta(seconds=10)),
+            (1, 1, T0 + dt.timedelta(seconds=20)),   # exactly at r=20
+            (2, 1, T0 + dt.timedelta(seconds=5)),    # before any right
+            (3, 2, T0 + dt.timedelta(seconds=50)),   # other key
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (100, 1, T0 + dt.timedelta(seconds=8), 1.0),
+            (101, 1, T0 + dt.timedelta(seconds=20), 2.0),
+            (102, 1, T0 + dt.timedelta(seconds=20), 3.0),  # ts tie: larger id wins
+            (103, 2, T0 + dt.timedelta(seconds=49), 4.0),
+        ],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    inc = {
+        r["event_id"]: (r["r_event_id"], r["r_value"])
+        for r in asof_join(
+            left, right, ["user_id"], "ts",
+            right_cols=["event_id", "value"], right_id_col="event_id",
+        ).collect()
+    }
+    assert inc[0] == (100, 1.0)
+    assert inc[1] == (102, 3.0)   # inclusive: equal-ts rows match, id 102 wins
+    assert inc[2] == (None, None)
+    assert inc[3] == (103, 4.0)
+
+    st = {
+        r["event_id"]: r["r_event_id"]
+        for r in asof_join(
+            left, right, ["user_id"], "ts",
+            right_cols=["event_id", "value"], right_id_col="event_id",
+            strict=True,
+        ).collect()
+    }
+    assert st[1] == 100  # strict: the equal-ts right rows do NOT match
