@@ -195,6 +195,19 @@ def q_sessionize(spark, sf_dir):
     )
 
 
+def q_session_stats(spark, sf_dir):
+    """Per-session rollup (operators.sessions.session_stats): count +
+    duration only — both exactly reproducible (integer-microsecond
+    min/max over identical values; float SUMS are excluded because
+    addition order differs between engines)."""
+    from rindex_spark.operators.sessions import session_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return session_stats(ev, gap_sec=14400.0).select(
+        "user_id", "session_seq", "n_events", "duration_sec"
+    )
+
+
 def q_asof_join(spark, sf_dir):
     """As-of join (operators.temporal.asof_join): each even-stream
     event picks up the latest odd-stream event of the same user at or
@@ -532,6 +545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_key": q_zorder_key,
         "sessionize": q_sessionize,
         "asof_join": q_asof_join,
+        "session_stats": q_session_stats,
         "rasterize": q_rasterize,
         "raster_vector": q_raster_vector,
         "polygon_raster": q_polygon_raster,
@@ -647,6 +661,22 @@ SELECT event_id, user_id,
        CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
 FROM m
+"""
+    sql["session_stats"] = """
+WITH e AS (SELECT event_id, user_id, ts, epoch_us(ts) AS tus FROM events),
+m AS (SELECT event_id, user_id, ts, tus,
+      CASE WHEN lag(tus) OVER w IS NULL
+                OR tus - lag(tus) OVER w > 14400000000
+           THEN 1 ELSE 0 END AS new_sess
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (SELECT user_id, tus,
+      CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+      FROM m)
+SELECT user_id, session_seq,
+       CAST(count(*) AS BIGINT) AS n_events,
+       (max(tus) - min(tus)) / 1000000.0 AS duration_sec
+FROM s GROUP BY user_id, session_seq
 """
     sql["asof_join"] = """
 SELECT l.event_id, l.user_id, r.event_id AS r_event_id, r.value AS r_value
