@@ -177,3 +177,74 @@ def test_streaming_window_counts(spark, tmp_path):
     assert got == 400
     langs = {r["lang"] for r in spark.sql("select distinct lang from wincounts").collect()}
     assert langs == {"en", "de", "fr", "es"}
+
+
+def test_streaming_session_window(spark, tmp_path):
+    """Native session_window sessionization: batch-mode parity with
+    the ordinal sessionizer, then a real availableNow stream where
+    append mode emits exactly the watermark-closed sessions."""
+    import datetime as dt
+    import os
+
+    from rindex_spark.operators.sessions import sessionize
+    from rindex_spark.streaming.sessions_stream import streaming_session_stats
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(eid, uid, sec):
+        return {"event_id": eid, "user_id": uid,
+                "ts": (t0 + dt.timedelta(seconds=sec)).isoformat()}
+
+    # user 1: sessions {0,10}, {100,105}; user 2: {0}, {200}
+    rows0 = [ev(0, 1, 0), ev(1, 1, 10), ev(2, 2, 0)]
+    rows1 = [ev(3, 1, 100), ev(4, 1, 105), ev(5, 2, 200),
+             ev(99, 999, 10_000_000)]  # watermark flush sentinel
+    d = tmp_path / "ev"
+    d.mkdir()
+    base = 1_700_000_000
+    for i, rows in enumerate([rows0, rows1]):
+        p = d / f"ev_{i:03d}.json"
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        os.utime(p, (base + i * 10, base + i * 10))
+
+    schema = "event_id long, user_id long, ts timestamp"
+    # batch-mode parity: same grouping expression on a plain DataFrame
+    batch = spark.read.schema(schema).json(str(d)).filter("user_id != 999")
+    got_b = sorted(
+        (r["user_id"], r["n_events"])
+        for r in streaming_session_stats(batch, gap="30 seconds").collect()
+    )
+    ordinal = sessionize(batch, gap_sec=30.0)
+    exp = sorted(
+        (r["user_id"], r["n_events"])
+        for r in ordinal.groupBy("user_id", "session_seq")
+        .count().withColumnRenamed("count", "n_events").collect()
+    )
+    assert got_b == exp == [(1, 2), (1, 2), (2, 1), (2, 1)]
+
+    # streaming: append emits sessions closed by the watermark (the
+    # sentinel pushes it past every real session)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    q = (
+        streaming_session_stats(stream, gap="30 seconds", watermark="1 minute")
+        .writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got_s = sorted(
+        (r["user_id"], r["n_events"])
+        for r in spark.sql(
+            "select user_id, n_events from sess_out where user_id != 999"
+        ).collect()
+    )
+    assert got_s == exp
