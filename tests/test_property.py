@@ -109,3 +109,120 @@ def test_k_exceeding_n_returns_all_property(spark, pts, k):
     assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == list(
         range(1, len(rows) + 1)
     )
+
+
+_event_sets = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 2000)),  # (user, seconds)
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(evs=_event_sets, gap=st.sampled_from([1, 30, 250, 10_000]))
+@_SETTINGS
+def test_sessionize_matches_python_reference_property(spark, evs, gap):
+    """Random event layouts (duplicate timestamps, single-event users,
+    gap exactly equal to the threshold) vs a direct python scan of the
+    definition: new session iff first event or gap strictly greater."""
+    import datetime as dt
+
+    from rindex_spark.operators.sessions import sessionize
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, int(u), t0 + dt.timedelta(seconds=int(s)))
+        for i, (u, s) in enumerate(evs)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    got = {
+        r["event_id"]: r["session_seq"]
+        for r in sessionize(df, gap_sec=float(gap)).collect()
+    }
+    exp = {}
+    by_user: dict[int, list] = {}
+    for eid, u, ts in rows:
+        by_user.setdefault(u, []).append((ts, eid))
+    for u, lst in by_user.items():
+        lst.sort()
+        seq, prev = 0, None
+        for ts, eid in lst:
+            if prev is None or (ts - prev).total_seconds() > gap:
+                seq += 1
+            prev = ts
+            exp[eid] = seq
+    assert got == exp
+
+
+@given(
+    lefts=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 500)),
+                   min_size=1, max_size=20),
+    rights=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 500)),
+                    min_size=0, max_size=20),
+    strict=st.booleans(),
+)
+@_SETTINGS
+def test_asof_join_matches_python_reference_property(spark, lefts, rights, strict):
+    """Random two-stream layouts (equal timestamps across and within
+    streams, empty right side, keys with no right rows) vs a direct
+    python scan: the matched right row is the (ts, id)-max among rows
+    at-or-before (or strictly before) each left row."""
+    import datetime as dt
+
+    from rindex_spark.operators.temporal import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    lrows = [
+        (i, int(u), t0 + dt.timedelta(seconds=int(s)))
+        for i, (u, s) in enumerate(lefts)
+    ]
+    rrows = [
+        (1000 + i, int(u), t0 + dt.timedelta(seconds=int(s)), float(i))
+        for i, (u, s) in enumerate(rights)
+    ]
+    l_df = spark.createDataFrame(lrows, "event_id long, user_id long, ts timestamp")
+    r_df = spark.createDataFrame(
+        rrows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    got = {
+        r["event_id"]: r["r_event_id"]
+        for r in asof_join(
+            l_df, r_df, ["user_id"], "ts",
+            right_cols=["event_id", "value"], right_id_col="event_id",
+            strict=strict,
+        ).collect()
+    }
+    for eid, u, ts in lrows:
+        cand = [
+            (rts, rid)
+            for rid, ru, rts, _ in rrows
+            if ru == u and (rts < ts if strict else rts <= ts)
+        ]
+        exp = max(cand)[1] if cand else None
+        assert got[eid] == exp, (eid, got[eid], exp)
+
+
+@given(
+    pts=st.lists(st.tuples(st.integers(-60, 60), st.integers(-60, 60)),
+                 min_size=1, max_size=40),
+    levels=st.integers(1, 5),
+)
+@_SETTINGS
+def test_tile_pyramid_rollup_property(spark, pts, levels):
+    """Every level's tile counts must equal the floor-division rollup
+    of the raw points, and per-level totals are invariant."""
+    from rindex_spark.operators.tiling import tile_pyramid
+
+    df = spark.createDataFrame(
+        [(float(x) + 0.5, float(y) + 0.5) for x, y in pts], "x double, y double"
+    )
+    spec = GridSpec(cell_size=1.0, x0=0.0, y0=0.0)
+    got = {
+        (r["level"], r["tx"], r["ty"]): r["n_points"]
+        for r in tile_pyramid(df, spec, levels=levels).collect()
+    }
+    exp: dict = {}
+    for x, y in pts:
+        for lvl in range(levels):
+            key = (lvl, x >> lvl, y >> lvl)
+            exp[key] = exp.get(key, 0) + 1
+    assert got == exp
