@@ -115,3 +115,30 @@ def test_zorder_key_is_pure_codegen(spark):
     assert "*(1)" in plan or "WholeStageCodegen" in plan, plan
     assert "EvalPython" not in plan, plan
     assert "Exchange" not in plan, plan
+
+
+def test_sessionize_and_asof_single_exchange(spark):
+    """The temporal operators must each cost exactly ONE keyed
+    exchange: sessionize's two window functions share it, session_stats'
+    aggregate reuses it (hash(user_id) already clusters
+    (user_id, session_seq)), and asof_join's union + carry-forward
+    window shuffles both sides once."""
+    from rindex_spark.operators.sessions import session_stats, sessionize
+    from rindex_spark.operators.temporal import asof_join
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    p = _plan(sessionize(ev, gap_sec=100.0))
+    assert p.count("Exchange") == 1, p
+    assert "EvalPython" not in p, p
+
+    p = _plan(session_stats(ev, gap_sec=100.0))
+    assert p.count("Exchange") == 1, p  # agg reuses the window's partitioning
+
+    l = ev.filter("event_id % 3 = 0").select("event_id", "user_id", "ts")
+    r = ev.filter("event_id % 3 = 1").select("event_id", "user_id", "ts", "value")
+    p = _plan(
+        asof_join(l, r, ["user_id"], "ts",
+                  right_cols=["event_id", "value"], right_id_col="event_id")
+    )
+    assert p.count("Exchange") == 1, p
+    assert "EvalPython" not in p, p
