@@ -306,6 +306,41 @@ def main() -> None:
         lambda: tile_pyramid(pts, spec, levels=6).count(),
     )
 
+    # temporal layer over the full events table: one keyed exchange each
+    from rindex_spark.operators.sessions import sessionize
+    from rindex_spark.operators.temporal import asof_join
+
+    bench("sessionize", lambda: sessionize(events, gap_sec=3600.0).count())
+
+    ev_l = events.filter((F.col("event_id") % 2) == 0).select(
+        "event_id", "user_id", "ts"
+    )
+    ev_r = events.filter((F.col("event_id") % 2) == 1).select(
+        "event_id", "user_id", "ts", "value"
+    )
+    bench(
+        "asof_join",
+        lambda: asof_join(
+            ev_l, ev_r, ["user_id"], "ts",
+            right_cols=["event_id", "value"], right_id_col="event_id",
+        ).count(),
+    )
+
+    # duplicate-cluster closure over deterministic 8-node chains: the
+    # iteration machinery (edge join + min agg + label join per round)
+    # is the measured cost, diameter 7 forces real propagation
+    from rindex_spark.operators.dedup import connected_components
+
+    cc_pairs = (
+        events.select(F.col("event_id").alias("id_a"))
+        .filter((F.col("id_a") % 8) < 7)
+        .withColumn("id_b", F.col("id_a") + 1)
+    )
+    bench(
+        "dedup_components",
+        lambda: connected_components(cc_pairs).count(),
+    )
+
     bench(
         "text_pipeline",
         lambda: with_text_stats(docs)

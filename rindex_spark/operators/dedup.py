@@ -481,18 +481,17 @@ def connected_components(
     near-dup emit PAIRS, but "keep one copy per duplicate GROUP" needs
     the transitive clusters (a~b, b~c => one group {a,b,c}).
 
-    Min-label propagation: every node starts as its own component;
-    each round takes L(v) = min(L(v), min over neighbors L(u)).
-    Converges in O(graph diameter) rounds — near-dup graphs are
-    clique-ish chains, so diameter is small (the reference workload
-    analogue: duplicate clusters, not long paths).  Each round is one
-    edge join + one map-side-combinable min aggregate + one label
-    join, all keyed shuffles; labels are localCheckpoint'ed per round
-    so lineage stays flat.  Nothing driver-side grows with data; the
-    per-round fixpoint check is a count.  For adversarial
-    long-diameter graphs at 100 TB, swap in the large-star/small-star
-    variant (halves the round count); for dedup workloads min-label
-    is the standard and cheaper choice.
+    Min-label propagation WITH pointer jumping: every node starts as
+    its own component; each round takes
+    ``L(v) = min(L(v), min over neighbors L(u), L(L(v)))`` — the
+    neighbor-min moves labels one hop, the shortcut (following your
+    own label's label) halves the remaining distance, so convergence
+    is O(log diameter) rounds instead of O(diameter) (a 30-node path
+    closes in 5 rounds, not 30).  Each round is one edge join + one
+    map-side-combinable min aggregate + two label joins, all keyed
+    shuffles; labels are localCheckpoint'ed per round so lineage
+    stays flat.  Nothing driver-side grows with data; the per-round
+    fixpoint check is a count.
 
     returns (id long, component long): every node that appears in a
     pair, labeled with the smallest node id reachable from it.
@@ -518,13 +517,30 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("nc").alias("nc"))
         )
+        stepped = labels.join(
+            neigh_min.withColumnRenamed("a", "id"), "id", "left"
+        ).select(
+            "id",
+            F.least(F.col("comp"), F.coalesce(F.col("nc"), F.col("comp"))).alias(
+                "comp"
+            ),
+        )
+        # pointer jump: my label's own label (labels are always node
+        # ids, so the self-join hits); this halves the remaining
+        # label-to-root distance every round
         new_labels = (
-            labels.join(neigh_min.withColumnRenamed("a", "id"), "id", "left")
+            stepped.join(
+                stepped.select(
+                    F.col("id").alias("comp"), F.col("comp").alias("comp2")
+                ),
+                "comp",
+                "left",
+            )
             .select(
                 "id",
-                F.least(F.col("comp"), F.coalesce(F.col("nc"), F.col("comp"))).alias(
-                    "comp"
-                ),
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("comp2"), F.col("comp"))
+                ).alias("comp"),
             )
             .localCheckpoint(eager=True)
         )
