@@ -517,13 +517,18 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("nc").alias("nc"))
         )
-        stepped = labels.join(
-            neigh_min.withColumnRenamed("a", "id"), "id", "left"
-        ).select(
-            "id",
-            F.least(F.col("comp"), F.coalesce(F.col("nc"), F.col("comp"))).alias(
-                "comp"
-            ),
+        stepped = (
+            labels.join(neigh_min.withColumnRenamed("a", "id"), "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nc"), F.col("comp"))
+                ).alias("comp"),
+            )
+            # checkpointed because the shortcut SELF-joins it: without
+            # this the edge-join/agg subtree computes twice per round
+            # (measured 20-23s -> 12-17s at 1M nodes)
+            .localCheckpoint(eager=True)
         )
         # pointer jump: my label's own label (labels are always node
         # ids, so the self-join hits); this halves the remaining
