@@ -1,0 +1,143 @@
+"""WARC ingestion — the Common-Crawl wire format.
+
+The north-star corpus arrives as WARC files (typically ~1 GB gzip
+members, one crawl segment per file).  The Spark-first ingestion
+grain is the FILE: ``spark.read.format("binaryFile")`` lists and
+distributes whole files (no splitting — gzip members aren't
+splittable anyway, which is why Common Crawl sizes them ~1 GB), and a
+``mapInPandas`` pass parses each file's records.  At 100 TB that is
+~100k files = ~100k tasks, an ideal task grain; parallelism comes
+from file count, exactly how CC is processed in practice
+(maxPartitionBytes plays no role for unsplittable gzip).
+
+Parsing is per-record python inside the file task — unavoidable for a
+byte-framed format (Content-Length framing, not line framing) and
+IO/decompression-bound in practice; everything DOWNSTREAM of the
+(url, warc_ts, html) rows is column expressions.
+
+Only ``WARC-Type: response`` records yield rows (request/metadata/
+warcinfo records are skipped, matching how CC consumers read WET/WARC
+files).  The HTTP envelope, when present, is stripped so ``html`` is
+the raw payload body — and the bytes are passed through VERBATIM (the
+byte-identical invariant: extract_text(html) downstream must see
+exactly what was crawled).
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+WARC_SCHEMA = "url string, warc_ts string, html binary, warc_file string"
+
+
+def _parse_warc_bytes(raw: bytes):
+    """Yield (url, warc_ts, payload_body) for each response record.
+
+    Framing per the WARC/1.0 spec: header block terminated by CRLF
+    CRLF, payload of exactly Content-Length bytes, then CRLF CRLF
+    before the next record.
+    """
+    buf = io.BytesIO(raw)
+    while True:
+        # skip inter-record blank lines
+        line = buf.readline()
+        if not line:
+            return
+        if line.strip() == b"":
+            continue
+        if not line.startswith(b"WARC/"):
+            # tolerate garbage between records: scan to next version line
+            continue
+        headers = {}
+        while True:
+            h = buf.readline()
+            if not h or h.strip() == b"":
+                break
+            if b":" in h:
+                k, v = h.split(b":", 1)
+                headers[k.strip().lower()] = v.strip()
+        try:
+            length = int(headers.get(b"content-length", b"0"))
+        except ValueError:
+            length = 0
+        payload = buf.read(length)
+        if headers.get(b"warc-type", b"").lower() == b"response":
+            url = headers.get(b"warc-target-uri", b"").decode("utf-8", "replace")
+            ts = headers.get(b"warc-date", b"").decode("ascii", "replace")
+            body = payload
+            if body.startswith(b"HTTP/"):
+                # strip the HTTP response envelope; body follows the
+                # first CRLFCRLF
+                sep = body.find(b"\r\n\r\n")
+                if sep != -1:
+                    body = body[sep + 4 :]
+            yield url, ts, body
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """path (glob of .warc / .warc.gz files) -> DataFrame
+    (url, warc_ts, html binary, warc_file).
+
+    html is the raw response payload (HTTP envelope stripped),
+    byte-identical to the crawl.  warc_ts is the WARC-Date string —
+    cast with ``to_timestamp`` downstream when needed.
+    """
+    files = spark.read.format("binaryFile").load(path).select(
+        "path", "content"
+    )
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"url": [], "warc_ts": [], "html": [], "warc_file": []}
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                raw = bytes(content)
+                if fpath.endswith(".gz"):
+                    raw = gzip.decompress(raw)
+                for url, ts, body in _parse_warc_bytes(raw):
+                    out["url"].append(url)
+                    out["warc_ts"].append(ts)
+                    out["html"].append(body)
+                    out["warc_file"].append(fpath)
+            yield pd.DataFrame(out)
+
+    return files.mapInPandas(parse, schema=WARC_SCHEMA)
+
+
+def write_warc(path: str, records: list[tuple[str, str, bytes]], compress: bool = True) -> None:
+    """Test/fixture helper: write (url, iso_ts, body) triples as a
+    WARC/1.0 file (driver-side, fixture-sized).  Bodies are wrapped in
+    a minimal HTTP/1.1 envelope like real crawl captures."""
+    chunks = []
+    for url, ts, body in records:
+        payload = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+        )
+        header = (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: response\r\n"
+            + f"WARC-Target-URI: {url}\r\n".encode()
+            + f"WARC-Date: {ts}\r\n".encode()
+            + f"Content-Length: {len(payload)}\r\n".encode()
+            + b"\r\n"
+        )
+        chunks.append(header + payload + b"\r\n\r\n")
+    # a non-response record consumers must skip
+    info = b"warcinfo body"
+    chunks.insert(
+        0,
+        b"WARC/1.0\r\nWARC-Type: warcinfo\r\n"
+        + f"Content-Length: {len(info)}\r\n".encode()
+        + b"\r\n"
+        + info
+        + b"\r\n\r\n",
+    )
+    raw = b"".join(chunks)
+    if compress:
+        raw = gzip.compress(raw)
+    with open(path, "wb") as f:
+        f.write(raw)
