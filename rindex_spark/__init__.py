@@ -26,6 +26,7 @@ from rindex_spark.config import EngineConfig, GridSpec
 from rindex_spark.functions.web import (
     hot_hosts,
     host_stats,
+    host_stats_approx,
     per_host_cap,
     registered_domain,
     url_host,
@@ -77,6 +78,7 @@ __all__ = [
     "url_host",
     "registered_domain",
     "host_stats",
+    "host_stats_approx",
     "hot_hosts",
     "per_host_cap",
     "build_knn_graph",

@@ -88,6 +88,31 @@ def host_stats(
     return out
 
 
+def host_stats_approx(
+    df: DataFrame,
+    host_col: str = "host",
+    lang_col: str = "lang",
+    rsd: float = 0.02,
+) -> DataFrame:
+    """The sketch variant of ``host_stats`` for 10^12-row corpora:
+    ``approx_count_distinct`` (HyperLogLog++) replaces the exact
+    count-distinct, which at scale expands to a SECOND shuffle keyed
+    on (host, lang) carrying one row per distinct pair — the sketch
+    keeps the whole profile ONE map-side-combinable aggregate whose
+    shuffle rows are fixed-size HLL registers per host.
+
+    ``rsd`` is the target relative standard deviation (2% default).
+    Exactness note: counts are approximate by construction, so this
+    profile has no bit-exact SQL oracle; accuracy is asserted in
+    pytest against the exact aggregate (test_web).
+
+    returns (host, n_docs, approx_n_langs)."""
+    return df.groupBy(F.col(host_col).alias("host")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.approx_count_distinct(F.col(lang_col), rsd).alias("approx_n_langs"),
+    )
+
+
 def hot_hosts(df: DataFrame, host_col: str = "host", factor: float = 8.0) -> DataFrame:
     """Hosts with more than ``factor`` x the mean per-host document
     count — the Zipfian-head detector (textual analogue of the spatial

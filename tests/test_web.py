@@ -117,3 +117,30 @@ def test_host_stats_profile(spark):
     assert got["a.com"]["sum_chars"] == 16
     assert got["a.com"]["avg_chars"] == 8.0
     assert got["b.com"]["n_docs"] == 1 and got["b.com"]["n_langs"] == 1
+
+
+def test_host_stats_approx_accuracy(spark):
+    """The HLL profile must agree with the exact aggregate on n_docs
+    (exact by construction) and be within the configured error on the
+    distinct-count column at realistic cardinalities."""
+    from rindex_spark.functions.web import host_stats, host_stats_approx
+
+    rows = []
+    for i in range(4000):
+        host = f"h{i % 7}.example.com"
+        lang = f"lang{(i * 31) % (10 + (i % 7) * 13)}"
+        rows.append((i, host, lang, "x" * 10))
+    df = spark.createDataFrame(rows, "doc_id long, host string, lang string, text string")
+    exact = {
+        r["host"]: (r["n_docs"], r["n_langs"])
+        for r in host_stats(df, host_col="host").collect()
+    }
+    approx = {
+        r["host"]: (r["n_docs"], r["approx_n_langs"])
+        for r in host_stats_approx(df, host_col="host").collect()
+    }
+    assert set(exact) == set(approx)
+    for h in exact:
+        assert approx[h][0] == exact[h][0]  # plain count stays exact
+        rel = abs(approx[h][1] - exact[h][1]) / max(exact[h][1], 1)
+        assert rel <= 0.10, (h, exact[h], approx[h])  # 2% rsd, wide margin
