@@ -225,6 +225,22 @@ def q_asof_join(spark, sf_dir):
     ).select("event_id", "user_id", "r_event_id", "r_value")
 
 
+def q_interval_join(spark, sf_dir):
+    """Containment join (operators.temporal.interval_join): every
+    event inside each 2-hour interval anchored at every 97th event —
+    bucketed covering join + exact BETWEEN refine; the oracle is the
+    plain range join DuckDB executes natively (IEJoin)."""
+    from rindex_spark.operators.temporal import interval_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    intervals = ev.filter((F.col("event_id") % 97) == 0).select(
+        F.col("event_id").alias("iid"),
+        F.col("ts").alias("t_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("t_end"),
+    )
+    return interval_join(ev, intervals)
+
+
 def q_zorder_key(spark, sf_dir):
     """Morton (Z-order) layout key per point (grid.z_order_key): the
     spatial data-lake clustering key, all JVM bit-twiddling.  Oracle
@@ -546,6 +562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "asof_join": q_asof_join,
         "session_stats": q_session_stats,
+        "interval_join": q_interval_join,
         "rasterize": q_rasterize,
         "raster_vector": q_raster_vector,
         "polygon_raster": q_polygon_raster,
@@ -684,6 +701,13 @@ FROM (SELECT event_id, user_id, ts FROM events WHERE event_id % 3 = 0) l
 ASOF LEFT JOIN
      (SELECT event_id, user_id, ts, value FROM events WHERE event_id % 3 = 1) r
 ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+    sql["interval_join"] = """
+SELECT i.iid, e.event_id
+FROM (SELECT event_id AS iid, ts AS t_start,
+             ts + INTERVAL 2 HOUR AS t_end
+      FROM events WHERE event_id % 97 = 0) i
+JOIN events e ON e.ts >= i.t_start AND e.ts <= i.t_end
 """
     sql["zorder_key"] = f"""
 WITH pts AS ({_PTS_SQL}),

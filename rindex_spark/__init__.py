@@ -64,7 +64,7 @@ from rindex_spark.operators.raster import (
 )
 from rindex_spark.operators.rknn import reverse_knn
 from rindex_spark.operators.sessions import session_stats, sessionize
-from rindex_spark.operators.temporal import asof_join
+from rindex_spark.operators.temporal import asof_join, interval_join
 from rindex_spark.operators.tiling import assign_tiles, tile_pyramid
 from rindex_spark.operators.stats import cell_stats, index_stats, knn_dist_of, neighbors_of
 
@@ -101,6 +101,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "simhash_pairs",
     "asof_join",
+    "interval_join",
     "sessionize",
     "session_stats",
     "assign_tiles",

@@ -80,3 +80,75 @@ def asof_join(
     return u.filter(F.col("_side") == l_ord).select(
         *left.columns, *[f"{prefix}{c}" for c in right_cols]
     )
+
+
+def interval_join(
+    events: DataFrame,
+    intervals: DataFrame,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    iid_col: str = "iid",
+    start_col: str = "t_start",
+    end_col: str = "t_end",
+    bucket_width_sec: float | None = None,
+    max_buckets_per_interval: int = 4096,
+) -> DataFrame:
+    """Containment join: (iid, event_id) for every event with
+    ``t_start <= ts <= t_end`` (inclusive both ends) — events within
+    sessions, trades within halts, crawls within outages.
+
+    The 1-D analogue of the spatial ``range_join``'s filter-and-refine:
+    time is bucketed at ``bucket_width_sec`` (default: the mean
+    interval length, one dimension-side aggregate — pass it explicitly
+    to amortize), each interval EXPLODES to its covering buckets (pure
+    sequence/explode), events map to their single bucket, the bucket
+    equi-join prunes, and the exact BETWEEN refine runs as a column
+    expression.  An event has exactly ONE bucket, so each (iid, event)
+    pair survives at most once — no distinct needed.  A plain
+    theta-join here would be a broadcast-nested-loop over
+    |events| x |intervals|; the bucket join replaces it exactly like
+    covering cells replace the all-pairs distance join.
+
+    Intervals whose covering-bucket count exceeds
+    ``max_buckets_per_interval`` (pathologically long spans) take a
+    broadcast theta scan instead — the same extent-scale guard as
+    range_join; intervals are the dimension side by contract.
+
+    returns (iid, event_id).
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    s_us = F.unix_micros(F.col(start_col).cast("timestamp"))
+    e_us = F.unix_micros(F.col(end_col).cast("timestamp"))
+
+    iv = intervals.select(
+        F.col(iid_col).alias("iid"),
+        s_us.alias("_s"),
+        e_us.alias("_e"),
+    )
+    if bucket_width_sec is None:
+        row = iv.agg(F.avg(F.col("_e") - F.col("_s")).alias("m")).collect()[0]
+        width_us = max(int(row["m"] or 0), 1_000_000)
+    else:
+        width_us = max(int(bucket_width_sec * 1_000_000), 1)
+
+    ev = events.select(
+        F.col(id_col).alias("event_id"), us.alias("_t")
+    ).withColumn("_b", F.expr(f"CAST(_t DIV {width_us} AS LONG)"))
+
+    b_lo = F.expr(f"CAST(_s DIV {width_us} AS LONG)")
+    b_hi = F.expr(f"CAST(_e DIV {width_us} AS LONG)")
+    n_buckets = b_hi - b_lo + 1
+
+    small = iv.filter(n_buckets <= max_buckets_per_interval)
+    big = iv.filter(n_buckets > max_buckets_per_interval)
+
+    covered = small.withColumn("_b", F.explode(F.sequence(b_lo, b_hi)))
+    joined = covered.join(ev, "_b").filter(
+        (F.col("_t") >= F.col("_s")) & (F.col("_t") <= F.col("_e"))
+    )
+    scanned = ev.join(F.broadcast(big)).filter(
+        (F.col("_t") >= F.col("_s")) & (F.col("_t") <= F.col("_e"))
+    )
+    return joined.select("iid", "event_id").unionByName(
+        scanned.select("iid", "event_id")
+    )

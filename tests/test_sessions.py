@@ -96,3 +96,44 @@ def test_asof_join_semantics(spark):
         ).collect()
     }
     assert st[1] == 100  # strict: the equal-ts right rows do NOT match
+
+
+def test_interval_join_semantics_and_guard(spark):
+    """Inclusive boundaries on both ends, events outside match nothing,
+    and a pathologically long interval takes the broadcast guard path
+    while producing the identical result."""
+    from rindex_spark.operators.temporal import interval_join
+
+    ev = spark.createDataFrame(
+        [(i, T0 + dt.timedelta(seconds=s)) for i, s in
+         [(0, 0.0), (1, 10.0), (2, 20.0), (3, 30.5), (4, 1000.0)]],
+        "event_id long, ts timestamp",
+    )
+    iv = spark.createDataFrame(
+        [
+            (100, T0 + dt.timedelta(seconds=10), T0 + dt.timedelta(seconds=30)),
+            (101, T0 + dt.timedelta(seconds=25), T0 + dt.timedelta(seconds=40)),
+        ],
+        "iid long, t_start timestamp, t_end timestamp",
+    )
+    got = {
+        (r["iid"], r["event_id"])
+        for r in interval_join(ev, iv, bucket_width_sec=7.0).collect()
+    }
+    # 100 covers ts 10 (start inclusive) and 20; NOT 30.5 (> end 30)
+    # 101 covers 30.5 only
+    assert got == {(100, 1), (100, 2), (101, 3)}
+
+    # guard: a huge interval with a tiny bucket width exceeds the
+    # per-interval bucket cap -> broadcast branch, same answer
+    iv_big = spark.createDataFrame(
+        [(200, T0, T0 + dt.timedelta(days=365))],
+        "iid long, t_start timestamp, t_end timestamp",
+    )
+    got_big = {
+        (r["iid"], r["event_id"])
+        for r in interval_join(
+            ev, iv_big, bucket_width_sec=1.0, max_buckets_per_interval=100
+        ).collect()
+    }
+    assert got_big == {(200, i) for i in range(5)}
