@@ -79,6 +79,24 @@ def _parse_warc_bytes(raw: bytes):
             yield url, ts, body
 
 
+def _parse_files(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body shared by the batch and streaming readers: each
+    input row is one whole (path, content) file; output rows are parsed
+    response records."""
+    for pdf in batches:
+        out = {"url": [], "warc_ts": [], "html": [], "warc_file": []}
+        for fpath, content in zip(pdf["path"], pdf["content"]):
+            raw = bytes(content)
+            if fpath.endswith(".gz"):
+                raw = gzip.decompress(raw)
+            for url, ts, body in _parse_warc_bytes(raw):
+                out["url"].append(url)
+                out["warc_ts"].append(ts)
+                out["html"].append(body)
+                out["warc_file"].append(fpath)
+        yield pd.DataFrame(out)
+
+
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
     """path (glob of .warc / .warc.gz files) -> DataFrame
     (url, warc_ts, html binary, warc_file).
@@ -90,22 +108,7 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     files = spark.read.format("binaryFile").load(path).select(
         "path", "content"
     )
-
-    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {"url": [], "warc_ts": [], "html": [], "warc_file": []}
-            for fpath, content in zip(pdf["path"], pdf["content"]):
-                raw = bytes(content)
-                if fpath.endswith(".gz"):
-                    raw = gzip.decompress(raw)
-                for url, ts, body in _parse_warc_bytes(raw):
-                    out["url"].append(url)
-                    out["warc_ts"].append(ts)
-                    out["html"].append(body)
-                    out["warc_file"].append(fpath)
-            yield pd.DataFrame(out)
-
-    return files.mapInPandas(parse, schema=WARC_SCHEMA)
+    return files.mapInPandas(_parse_files, schema=WARC_SCHEMA)
 
 
 def write_warc(path: str, records: list[tuple[str, str, bytes]], compress: bool = True) -> None:
@@ -141,3 +144,36 @@ def write_warc(path: str, records: list[tuple[str, str, bytes]], compress: bool 
         raw = gzip.compress(raw)
     with open(path, "wb") as f:
         f.write(raw)
+
+
+def read_warc_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming twin of ``read_warc``: new WARC files landing under
+    ``path`` become micro-batches of parsed (url, warc_ts, html,
+    warc_file) rows — the continuous-crawl ingestion shape (each crawl
+    segment commits exactly once; downstream foreachBatch folds or
+    stream_dedup dedups).  Same per-file parse; the binaryFile
+    streaming source requires the schema up front."""
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    file_schema = StructType(
+        [
+            StructField("path", StringType()),
+            StructField("modificationTime", TimestampType()),
+            StructField("length", LongType()),
+            StructField("content", BinaryType()),
+        ]
+    )
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(file_schema)
+        .load(path)
+        .select("path", "content")
+    )
+    return files.mapInPandas(_parse_files, schema=WARC_SCHEMA)

@@ -104,3 +104,42 @@ def test_warc_to_corpus_end_to_end(spark, tmp_path):
     assert sorted(r["doc_id"] for r in rows) == sorted(
         r["doc_id"] for r in rows2
     )
+
+
+def test_warc_streaming_ingestion(spark, tmp_path):
+    """Streaming WARC: files become micro-batches (maxFilesPerTrigger=1),
+    every record lands exactly once with byte-identical payloads."""
+    import os
+
+    from rindex_spark.sources.warc import read_warc_stream
+
+    d = tmp_path / "crawl"
+    d.mkdir()
+    segs = [
+        [("https://example.com/0", "2024-01-01T00:00:00Z", b"seg0 body")],
+        [("https://example.com/1", "2024-01-01T00:01:00Z", b"seg1 \x00bin"),
+         ("https://example.com/2", "2024-01-01T00:02:00Z", b"seg1 second")],
+    ]
+    base = 1_700_000_000
+    for i, recs in enumerate(segs):
+        p = str(d / f"seg{i}.warc.gz")
+        write_warc(p, recs)
+        os.utime(p, (base + i * 10, base + i * 10))
+
+    q = (
+        read_warc_stream(spark, str(d) + "/*.warc.gz")
+        .writeStream.format("memory")
+        .queryName("warc_stream_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .option("maxFilesPerTrigger", 1)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        r["url"]: bytes(r["html"])
+        for r in spark.sql("select url, html from warc_stream_out").collect()
+    }
+    exp = {u: b for seg in segs for u, _, b in seg}
+    assert got == exp
