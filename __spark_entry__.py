@@ -126,6 +126,45 @@ def q_knn_3d(spark, sf_dir):
     return build_knn_graph(pts, 5, extra_cols=("z",))
 
 
+def _points_3d(spark, sf_dir):
+    return _points(spark, sf_dir).withColumn(
+        "z", ((F.col("id") * 15485863) % 20000) / 100.0 - 100.0
+    )
+
+
+def q_range_3d(spark, sf_dir):
+    """D=3 range query (r4 verdict item 6): the 2-D grid prunes
+    (dist_3 >= dist_2), the refine is exact full-D distance in the
+    canonical IEEE op order."""
+    pts = _points_3d(spark, sf_dir)
+    q = pts.filter((F.col("id") % 43) == 0).select(
+        F.col("id").alias("qid"), "x", "y", "z",
+        (F.lit(20.0) + (F.col("id") % 5).cast("double")).alias("radius"),
+    )
+    return range_join(pts, q, extra_cols=("z",))
+
+
+def q_rknn_3d(spark, sf_dir):
+    """D=3 reverse kNN (r4 verdict item 6): graph built in 3-D, per-cell
+    max-knn_dist prune in 2-D (a valid lower bound), full-D refine."""
+    pts = _points_3d(spark, sf_dir)
+    g = build_knn_graph(pts, 5, extra_cols=("z",))
+    q = (
+        _points_3d(spark, sf_dir)
+        .filter((F.col("id") % 67) == 0)
+        .select(
+            F.col("id").alias("qid"),
+            (F.col("x") + 1.5).alias("x"),
+            (F.col("y") - 2.5).alias("y"),
+            (F.col("z") + 0.5).alias("z"),
+        )
+    )
+    from rindex_spark.grid import infer_grid
+
+    spec = infer_grid(pts, EngineConfig(k=5))
+    return reverse_knn(pts, g, q, 5, spec=spec, extra_cols=("z",))
+
+
 def q_knn_dist(spark, sf_dir):
     g = build_knn_graph(_points(spark, sf_dir), K)
     return knn_dist(g, K)
@@ -229,7 +268,10 @@ def q_interval_join(spark, sf_dir):
     """Containment join (operators.temporal.interval_join): every
     event inside each 2-hour interval anchored at every 97th event —
     bucketed covering join + exact BETWEEN refine; the oracle is the
-    plain range join DuckDB executes natively (IEJoin)."""
+    plain range join DuckDB executes natively (IEJoin).  The bucket
+    width is passed EXPLICITLY (the interval span is known by
+    construction), so this call launches zero fixed driver jobs — the
+    r4 verdict's range_join ``extent=`` pattern."""
     from rindex_spark.operators.temporal import interval_join
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -238,7 +280,7 @@ def q_interval_join(spark, sf_dir):
         F.col("ts").alias("t_start"),
         (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("t_end"),
     )
-    return interval_join(ev, intervals)
+    return interval_join(ev, intervals, bucket_width_sec=7200.0)
 
 
 def q_zorder_key(spark, sf_dir):
@@ -548,6 +590,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "knn_graph": q_knn_graph,
         "knn_3d": q_knn_3d,
+        "range_3d": q_range_3d,
+        "rknn_3d": q_rknn_3d,
         "knn_dist": q_knn_dist,
         "range_join": q_range_join,
         "knn_query": q_knn_query,
@@ -634,6 +678,33 @@ SELECT src, dst, dist, CAST(rk AS INT) AS rank FROM r WHERE rk <= 5
         knn_cte
         + f"SELECT src AS id, max(dist) AS knn_dist FROM r WHERE rk <= {K} GROUP BY src"
     )
+    dist3 = (
+        "sqrt((p.x-q.x)*(p.x-q.x) + (p.y-q.y)*(p.y-q.y) + (p.z-q.z)*(p.z-q.z))"
+    )
+    pts3 = (
+        f"SELECT id, x, y, ((id*15485863)%20000)/100.0 - 100.0 AS z "
+        f"FROM ({_PTS_SQL})"
+    )
+    sql["range_3d"] = f"""
+WITH pts AS ({pts3}),
+qs AS (SELECT id AS qid, x, y, z, 20.0 + CAST(id % 5 AS DOUBLE) AS radius
+       FROM pts WHERE id % 43 = 0)
+SELECT q.qid, p.id, {dist3} AS dist
+FROM qs q, pts p
+WHERE {dist3} <= q.radius
+"""
+    sql["rknn_3d"] = f"""
+WITH pts AS ({pts3}),
+d0 AS (SELECT p.id AS src, qq.id AS dst, {dist3.replace('q.', 'qq.')} AS dist
+       FROM pts p, pts qq),
+r0 AS (SELECT src, dist, row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rk FROM d0),
+kd AS (SELECT src AS id, max(dist) AS knn_dist FROM r0 WHERE rk <= 5 GROUP BY src),
+qs AS (SELECT id AS qid, x + 1.5 AS x, y - 2.5 AS y, z + 0.5 AS z
+       FROM pts WHERE id % 67 = 0)
+SELECT q.qid, p.id, {dist3} AS dist
+FROM qs q, pts p JOIN kd ON p.id = kd.id
+WHERE {dist3} <= kd.knn_dist
+"""
     sql["range_join"] = f"""
 WITH pts AS ({_PTS_SQL}),
 qs AS (SELECT id AS qid, x, y, 15.0 + CAST(id % 7 AS DOUBLE) AS radius FROM pts WHERE id % 29 = 0)

@@ -24,6 +24,22 @@ def euclidean(ax: Column, ay: Column, bx: Column, by: Column) -> Column:
     return F.sqrt(dx * dx + dy * dy)
 
 
+def euclidean_nd(ax: Column, ay: Column, bx: Column, by: Column, extra_pairs=()) -> Column:
+    """Full-D Euclidean distance: (x, y) plus ``extra_pairs`` of
+    (a_i, b_i) coordinate Columns (reference const-generic [f64; D],
+    lib/src/rindex.rs:34).  Accumulation is strictly left-to-right —
+    sqrt(((dx^2+dy^2)+dz^2)+...) — the same IEEE op order as the SQL
+    oracles' left-associative ``+`` chain, so doubles stay
+    bit-identical."""
+    dx = ax - bx
+    dy = ay - by
+    acc = dx * dx + dy * dy
+    for a, b in extra_pairs:
+        d = a - b
+        acc = acc + d * d
+    return F.sqrt(acc)
+
+
 def euclidean_sql(ax: str, ay: str, bx: str, by: str) -> str:
     """The same expression as ANSI SQL text (for DuckDB oracles)."""
     return f"sqrt(({ax}-{bx})*({ax}-{bx}) + ({ay}-{by})*({ay}-{by}))"

@@ -43,7 +43,14 @@ def registered_domain(host: Column, suffixes=None) -> Column:
     literal lists into hash-set InSet lookups), so it runs inside
     whole-stage codegen at any corpus scale: no join, no shuffle, no
     Python.  PSL wildcard (``*.ck``) and exception (``!``) entries are
-    not supported and are skipped; pre-expand them if needed."""
+    not supported and are skipped; pre-expand them if needed.
+
+    The host expression is normalized (lowercased, trailing dot
+    stripped) before matching, mirroring the python-side suffix
+    normalization — ``News.Example.CO.UK.`` resolves the same as
+    ``news.example.co.uk`` (r4 advisor: without this, mixed-case /
+    FQDN-dotted hosts silently missed every PSL suffix)."""
+    host = F.regexp_replace(F.lower(host), r"\.$", "")
     fallback = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
     if suffixes is None:
         return fallback

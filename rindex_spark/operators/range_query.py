@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from rindex_spark.config import EngineConfig, GridSpec
-from rindex_spark.functions.distance import euclidean
+from rindex_spark.functions.distance import euclidean_nd
 from rindex_spark.grid import explode_block, infer_grid, with_cells
 
 
@@ -28,8 +28,10 @@ def range_join(
     spec: GridSpec | None = None,
     cfg: EngineConfig | None = None,
     extent=None,
+    extra_cols: tuple = (),
 ) -> DataFrame:
-    """points: (id, x, y); queries: (qid, x, y, radius).
+    """points: (id, x, y[, *extra_cols]); queries: (qid, x, y
+    [, *extra_cols], radius).
 
     returns (qid, id, dist) with dist <= radius, ascending by
     (dist, id) within each qid (deterministic tie-break; the reference
@@ -41,7 +43,16 @@ def range_join(
     call launches ZERO fixed driver jobs — the extent-scale radius guard
     derives its cell span arithmetically instead of re-aggregating the
     points on every call (r3 verdict item 2).
+
+    ``extra_cols`` names additional coordinate columns (D > 2, the
+    reference const-generic [f64; D], lib/src/rindex.rs:34).  The grid
+    prunes on the leading (x, y) pair only, which stays a valid filter:
+    dist_D(q, p) >= dist_2(q, p), so any point within full-D radius r
+    lies inside the 2-D covering block of radius r.  The refine is the
+    exact full-D distance (knn.py:126-136 carries the same argument
+    for the kNN lane).
     """
+    extra_cols = tuple(extra_cols)
     cfg = cfg or EngineConfig()
     if spec is None:
         if extent is not None:
@@ -51,10 +62,14 @@ def range_join(
         else:
             spec = infer_grid(points, cfg)
 
-    pts = with_cells(points.select("id", "x", "y"), spec)
+    pts = with_cells(points.select("id", "x", "y", *extra_cols), spec)
     q = with_cells(
         queries.select(
-            "qid", F.col("x").alias("qx"), F.col("y").alias("qy"), "radius"
+            "qid",
+            F.col("x").alias("qx"),
+            F.col("y").alias("qy"),
+            *[F.col(c).alias(f"qe{i}") for i, c in enumerate(extra_cols)],
+            "radius",
         ),
         spec,
         x="qx",
@@ -99,10 +114,16 @@ def range_join(
             max(span["x_hi"] - span["x_lo"], span["y_hi"] - span["y_lo"])
         ) + 1
     rad_cells = F.ceil(F.col("radius") / F.lit(spec.cell_size))
-    dist = euclidean(F.col("qx"), F.col("qy"), F.col("x"), F.col("y"))
+    dist = euclidean_nd(
+        F.col("qx"), F.col("qy"), F.col("x"), F.col("y"),
+        [(F.col(f"qe{i}"), F.col(c)) for i, c in enumerate(extra_cols)],
+    )
 
     small = q.filter(rad_cells < F.lit(span_cells))
-    big = q.filter(rad_cells >= F.lit(span_cells)).select("qid", "qx", "qy", "radius")
+    big = q.filter(rad_cells >= F.lit(span_cells)).select(
+        "qid", "qx", "qy",
+        *[f"qe{i}" for i in range(len(extra_cols))], "radius"
+    )
 
     cand_cells = explode_block(small, rad_cells)
     joined = cand_cells.join(

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from rindex_spark.config import GridSpec
-from rindex_spark.functions.distance import euclidean
+from rindex_spark.functions.distance import euclidean_nd
 from rindex_spark.grid import cell_min_dist, explode_block, with_cells
 from rindex_spark.operators.stats import knn_dist
 
@@ -55,9 +55,11 @@ def reverse_knn(
     queries: DataFrame,
     k: int,
     spec: GridSpec,
+    extra_cols: tuple = (),
 ) -> DataFrame:
-    """points: (id, x, y); graph: (src, dst, dist, rank) with k incl.
-    self; queries: (qid, x, y).
+    """points: (id, x, y[, *extra_cols]); graph: (src, dst, dist, rank)
+    with k incl. self (built in the SAME dimensionality); queries:
+    (qid, x, y[, *extra_cols]).
 
     returns (qid, id, dist) — every point whose k-NN ball (including
     itself) covers the query point; ascending (qid, dist, id) — the
@@ -65,13 +67,23 @@ def reverse_knn(
     so the order IS the contract.  The sort costs an exchange over the
     RESULT only (query-scale, not corpus-scale): reverse-neighbor sets
     are O(k * |queries|)-ish, so this never becomes a data-sized sort.
+
+    ``extra_cols`` names additional coordinate columns (D > 2,
+    reference const-generic [f64; D], lib/src/rindex.rs:34).  The 2-D
+    cell prune stays valid: the descent test needs
+    cell_min_dist_2(cell(p), q) <= dist_2(p, q) <= dist_D(p, q), so
+    any p with dist_D(p, q) <= knn_dist(p) <= max_knn_dist(cell)
+    survives the 2-D filter; the refine is the exact full-D distance.
     """
+    extra_cols = tuple(extra_cols)
     spark = points.sparkSession
     if k <= 0:
         return spark.createDataFrame([], "qid long, id long, dist double")
 
     kd = knn_dist(graph, k)  # (id, knn_dist), inf when < k rows
-    pts = with_cells(points.select("id", "x", "y"), spec).join(kd, "id", "left")
+    pts = with_cells(points.select("id", "x", "y", *extra_cols), spec).join(
+        kd, "id", "left"
+    )
     pts = pts.na.fill({"knn_dist": float("inf")})
 
     _release_last_stats()
@@ -92,7 +104,12 @@ def reverse_knn(
     if not n_cells:
         return spark.createDataFrame([], "qid long, id long, dist double")
 
-    q = queries.select("qid", F.col("x").alias("qx"), F.col("y").alias("qy"))
+    q = queries.select(
+        "qid",
+        F.col("x").alias("qx"),
+        F.col("y").alias("qy"),
+        *[F.col(c).alias(f"qe{i}") for i, c in enumerate(extra_cols)],
+    )
     # covering radius in cells: a cell at Chebyshev cell-distance c from
     # the query's cell is at Euclidean distance > (c-1)*cs, so every
     # cell passing the min_dist <= gmax prune has c <= gmax/cs + 1.
@@ -128,7 +145,10 @@ def reverse_knn(
         (F.col("cix") == F.col("ix")) & (F.col("ciy") == F.col("iy")),
         "inner",
     )
-    dist = euclidean(F.col("qx"), F.col("qy"), F.col("x"), F.col("y"))
+    dist = euclidean_nd(
+        F.col("qx"), F.col("qy"), F.col("x"), F.col("y"),
+        [(F.col(f"qe{i}"), F.col(c)) for i, c in enumerate(extra_cols)],
+    )
     return (
         joined.select("qid", "id", dist.alias("dist"), "knn_dist")
         .filter(F.col("dist") <= F.col("knn_dist"))

@@ -8,12 +8,17 @@ time, page version at crawl time, user profile at click time).
 Distributed shape — the standard scalable plan, no range explode and
 no per-key Python:
 
-1. UNION the two sides (right columns null on left rows and vice
-   versa), tagging each row's side.
+1. UNION the two sides (right rows carry ONE struct of all their
+   value columns; the struct is null on left rows), tagging each
+   row's side.
 2. ONE window partitioned by key, ordered by (ts, side-order, right
-   tie-break): ``last(col, ignorenulls=True)`` carries the most
-   recent right values forward onto every subsequent row.
-3. keep only left rows.
+   tie-break): ``last(struct, ignorenulls=True)`` carries the most
+   recent right ROW forward onto every subsequent row.  Carrying the
+   whole row as a struct (not per-column lasts) guarantees every
+   ``r_*`` output column comes from the SAME right row — including
+   that row's genuine nulls (per-column ignorenulls would skip a
+   null field and backfill it from an OLDER right row).
+3. keep only left rows and unpack the struct fields.
 
 Cost = one keyed shuffle + in-partition sort over |L| + |R| rows —
 the same exchange a plain equi-join on the key would pay; Catalyst
@@ -60,10 +65,10 @@ def asof_join(
     rt = right.select(
         *key_cols,
         ts_col,
-        *[F.col(c).alias(f"_rv_{c}") for c in right_cols],
+        F.struct(*[F.col(c).alias(c) for c in right_cols]).alias("_rv"),
     ).withColumn("_side", F.lit(r_ord))
     tie = (
-        F.col(f"_rv_{right_id_col}")
+        F.col("_rv").getField(right_id_col)
         if right_id_col is not None and right_id_col in right_cols
         else F.lit(0)
     )
@@ -73,12 +78,10 @@ def asof_join(
         .orderBy(F.col(ts_col).asc(), F.col("_side").asc(), tie.asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    for c in right_cols:
-        u = u.withColumn(
-            f"{prefix}{c}", F.last(f"_rv_{c}", ignorenulls=True).over(w)
-        )
+    u = u.withColumn("_rvc", F.last("_rv", ignorenulls=True).over(w))
     return u.filter(F.col("_side") == l_ord).select(
-        *left.columns, *[f"{prefix}{c}" for c in right_cols]
+        *left.columns,
+        *[F.col("_rvc").getField(c).alias(f"{prefix}{c}") for c in right_cols],
     )
 
 
@@ -98,12 +101,17 @@ def interval_join(
     sessions, trades within halts, crawls within outages.
 
     The 1-D analogue of the spatial ``range_join``'s filter-and-refine:
-    time is bucketed at ``bucket_width_sec`` (default: the mean
-    interval length, one dimension-side aggregate — pass it explicitly
-    to amortize), each interval EXPLODES to its covering buckets (pure
-    sequence/explode), events map to their single bucket, the bucket
-    equi-join prunes, and the exact BETWEEN refine runs as a column
-    expression.  An event has exactly ONE bucket, so each (iid, event)
+    time is bucketed at ``bucket_width_sec``, each interval EXPLODES
+    to its covering buckets (pure sequence/explode), events map to
+    their single bucket, the bucket equi-join prunes, and the exact
+    BETWEEN refine runs as a column expression.
+
+    ``bucket_width_sec`` SHOULD be passed explicitly (any width within
+    ~an order of magnitude of the mean interval length works; results
+    are width-independent).  When omitted, the mean interval span is
+    aggregated on every call — a fixed driver job per invocation, the
+    same class range_join's ``extent=`` parameter amortizes away
+    (callers that loop this operator must pass the width).  An event has exactly ONE bucket, so each (iid, event)
     pair survives at most once — no distinct needed.  A plain
     theta-join here would be a broadcast-nested-loop over
     |events| x |intervals|; the bucket join replaces it exactly like

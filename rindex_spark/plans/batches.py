@@ -255,6 +255,13 @@ def apply_batch(
             folded_ext["ymax"] = max(folded_ext["ymax"], ibox["ymax"])
     else:
         folded_ext = None
+    if folded_ext is not None and n_affected:
+        # the folded n is pure arithmetic over the op contract; deletes
+        # of absent ids (or double-counted re-inserts) can drift it to
+        # 0 while points remain, and knn_for_queries short-circuits on
+        # n == 0 — a non-empty repair set PROVES the point set is
+        # non-empty, so clamp (r4 advisor)
+        folded_ext["n"] = max(int(folded_ext["n"]), n_affected, 1)
     if n_affected:
         # full_q ⊆ new_points by construction (lost srcs survive the
         # fold; inserted ids are in it), so the query-extent job is

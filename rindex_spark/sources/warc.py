@@ -35,14 +35,15 @@ from pyspark.sql import DataFrame, SparkSession
 WARC_SCHEMA = "url string, warc_ts string, html binary, warc_file string"
 
 
-def _parse_warc_bytes(raw: bytes):
-    """Yield (url, warc_ts, payload_body) for each response record.
+def _parse_warc_stream(buf):
+    """Yield (url, warc_ts, payload_body) for each response record read
+    from a binary file-like ``buf`` (supports readline/read).
 
     Framing per the WARC/1.0 spec: header block terminated by CRLF
     CRLF, payload of exactly Content-Length bytes, then CRLF CRLF
-    before the next record.
+    before the next record.  Streaming by construction: resident
+    memory is one record's headers + payload, never the whole file.
     """
-    buf = io.BytesIO(raw)
     while True:
         # skip inter-record blank lines
         line = buf.readline()
@@ -79,22 +80,48 @@ def _parse_warc_bytes(raw: bytes):
             yield url, ts, body
 
 
+# output-chunk flush thresholds for _parse_files: bound the pandas
+# frame under construction so a 1 GB WARC file (millions of records /
+# GBs of payload) never materializes as ONE in-worker frame
+_FLUSH_RECORDS = 2000
+_FLUSH_BYTES = 64 << 20
+
+
 def _parse_files(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas body shared by the batch and streaming readers: each
     input row is one whole (path, content) file; output rows are parsed
-    response records."""
+    response records, yielded in bounded chunks.
+
+    Gzip members are STREAM-decompressed (``gzip.GzipFile`` over the
+    file bytes — r4 verdict item 5: ``gzip.decompress`` held the whole
+    ~several-GB raw expansion per task on top of Spark's binaryFile
+    copy; now resident memory is O(record) + the zlib window).
+    GzipFile reads CONCATENATED members transparently, which real CC
+    files rely on (one gzip member per record)."""
     for pdf in batches:
         out = {"url": [], "warc_ts": [], "html": [], "warc_file": []}
+        out_bytes = 0
+
+        def flush():
+            nonlocal out, out_bytes
+            df = pd.DataFrame(out)
+            out = {"url": [], "warc_ts": [], "html": [], "warc_file": []}
+            out_bytes = 0
+            return df
+
         for fpath, content in zip(pdf["path"], pdf["content"]):
-            raw = bytes(content)
-            if fpath.endswith(".gz"):
-                raw = gzip.decompress(raw)
-            for url, ts, body in _parse_warc_bytes(raw):
+            raw = io.BytesIO(bytes(content))
+            buf = gzip.GzipFile(fileobj=raw) if fpath.endswith(".gz") else raw
+            for url, ts, body in _parse_warc_stream(buf):
                 out["url"].append(url)
                 out["warc_ts"].append(ts)
                 out["html"].append(body)
                 out["warc_file"].append(fpath)
-        yield pd.DataFrame(out)
+                out_bytes += len(body)
+                if len(out["url"]) >= _FLUSH_RECORDS or out_bytes >= _FLUSH_BYTES:
+                    yield flush()
+        if out["url"]:
+            yield flush()
 
 
 def read_warc(spark: SparkSession, path: str) -> DataFrame:

@@ -75,3 +75,73 @@ def test_knn_3d_external_queries(spark):
     for j, exp in enumerate(oracle):
         rows = sorted(got[1000 + j])
         assert [(d, i) for _, d, i in rows] == exp
+
+
+def test_range_join_3d_exact(spark):
+    """D=3 range query vs brute force: 2-D covering-block prune
+    (dist_3 >= dist_2 keeps it a valid filter), full-D refine."""
+    from rindex_spark.operators.range_query import range_join
+
+    ids, xyz = _pts3(500, seed=11)
+    pts = spark.createDataFrame(
+        [(int(i), float(p[0]), float(p[1]), float(p[2])) for i, p in zip(ids, xyz)],
+        "id long, x double, y double, z double",
+    )
+    rng = np.random.default_rng(13)
+    qxyz = rng.uniform(-50.0, 50.0, size=(15, 3))
+    radii = rng.uniform(5.0, 40.0, size=15)
+    qs = spark.createDataFrame(
+        [
+            (j, float(q[0]), float(q[1]), float(q[2]), float(r))
+            for j, (q, r) in enumerate(zip(qxyz, radii))
+        ],
+        "qid long, x double, y double, z double, radius double",
+    )
+    got = {
+        (r["qid"], r["id"]): r["dist"]
+        for r in range_join(pts, qs, extra_cols=("z",)).collect()
+    }
+    exp = {}
+    for j, (q, rad) in enumerate(zip(qxyz, radii)):
+        d = np.sqrt(((q - xyz) ** 2).sum(axis=1))
+        for i in np.nonzero(d <= rad)[0]:
+            exp[(j, int(ids[i]))] = float(d[i])
+    assert set(got) == set(exp)
+    for key in exp:
+        assert got[key] == exp[key]
+
+
+def test_reverse_knn_3d_exact(spark):
+    """D=3 reverse kNN vs brute force: all p with
+    dist_3(p, q) <= knn_dist_3(p), inclusive."""
+    from rindex_spark.config import EngineConfig
+    from rindex_spark.grid import infer_grid
+    from rindex_spark.operators.rknn import reverse_knn
+
+    k = 4
+    ids, xyz = _pts3(400, seed=21)
+    pts = spark.createDataFrame(
+        [(int(i), float(p[0]), float(p[1]), float(p[2])) for i, p in zip(ids, xyz)],
+        "id long, x double, y double, z double",
+    )
+    g = build_knn_graph(pts, k, extra_cols=("z",))
+    rng = np.random.default_rng(27)
+    qxyz = rng.uniform(-50.0, 50.0, size=(12, 3))
+    qs = spark.createDataFrame(
+        [(100 + j, float(q[0]), float(q[1]), float(q[2])) for j, q in enumerate(qxyz)],
+        "qid long, x double, y double, z double",
+    )
+    spec = infer_grid(pts, EngineConfig(k=k))
+    got = {
+        (r["qid"], r["id"])
+        for r in reverse_knn(pts, g, qs, k, spec=spec, extra_cols=("z",)).collect()
+    }
+    # brute: per-point 3-D knn_dist (self included), then the inclusive cover test
+    d_all = np.sqrt(((xyz[:, None, :] - xyz[None, :, :]) ** 2).sum(axis=2))
+    kth = np.sort(d_all, axis=1)[:, k - 1]
+    exp = set()
+    for j, q in enumerate(qxyz):
+        dq = np.sqrt(((q - xyz) ** 2).sum(axis=1))
+        for i in np.nonzero(dq <= kth)[0]:
+            exp.add((100 + j, int(ids[i])))
+    assert got == exp

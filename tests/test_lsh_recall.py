@@ -318,3 +318,34 @@ def test_connected_components_empty_pairs(spark):
 
     empty = spark.createDataFrame([], "id_a long, id_b long")
     assert connected_components(empty).count() == 0
+
+
+def test_connected_components_diameter1_one_round_and_checkpoint_dir(
+    spark, tmp_path
+):
+    """r4 verdict item 3: a diameter-1 graph must converge in ONE
+    propagation round (plus the confirming fixpoint round), and the
+    reliable-checkpoint variant (checkpoint_dir=) must produce the
+    identical labeling."""
+    from rindex_spark.operators import dedup as dedup_mod
+    from rindex_spark.operators.dedup import connected_components
+
+    # disjoint stars: centers 0, 10, 20 each with 3 leaves — diameter 1
+    # from every leaf to its (minimum-id) center
+    pairs = spark.createDataFrame(
+        [(c, c + i) for c in (0, 10, 20) for i in (1, 2, 3)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r["id"]: r["component"] for r in connected_components(pairs).collect()
+    }
+    assert got == {c + i: c for c in (0, 10, 20) for i in (0, 1, 2, 3)}
+    assert dedup_mod.last_cc_rounds == 1
+
+    got_ckpt = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            pairs, checkpoint_dir=str(tmp_path / "cc_ckpt")
+        ).collect()
+    }
+    assert got_ckpt == got

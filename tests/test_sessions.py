@@ -137,3 +137,56 @@ def test_interval_join_semantics_and_guard(spark):
         ).collect()
     }
     assert got_big == {(200, i) for i in range(5)}
+
+
+def test_asof_join_null_right_value_comes_from_matching_row(spark):
+    """r4 advisor (medium): a genuinely-NULL right value column on the
+    as-of matching row must surface as NULL — the struct carry
+    guarantees all r_* columns come from the SAME right row, never a
+    null-skipping backfill from an older one."""
+    from rindex_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(0, 1, T0 + dt.timedelta(seconds=30))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (100, 1, T0 + dt.timedelta(seconds=10), 7.0),
+            (101, 1, T0 + dt.timedelta(seconds=20), None),  # the match
+        ],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    row = asof_join(
+        left, right, ["user_id"], "ts",
+        right_cols=["event_id", "value"], right_id_col="event_id",
+    ).collect()[0]
+    assert row["r_event_id"] == 101
+    assert row["r_value"] is None  # NOT 7.0 carried from row 100
+
+
+def test_interval_join_explicit_width_no_driver_jobs(spark):
+    """r4 verdict item 2: with bucket_width_sec passed explicitly,
+    constructing the interval_join plan must launch ZERO driver jobs
+    (the default-width path pays a per-call mean-span aggregate)."""
+    from rindex_spark.operators.temporal import interval_join
+
+    ev = spark.createDataFrame(
+        [(i, T0 + dt.timedelta(seconds=float(i))) for i in range(50)],
+        "event_id long, ts timestamp",
+    )
+    iv = spark.createDataFrame(
+        [
+            (100, T0 + dt.timedelta(seconds=5), T0 + dt.timedelta(seconds=15)),
+            (101, T0 + dt.timedelta(seconds=30), T0 + dt.timedelta(seconds=45)),
+        ],
+        "iid long, t_start timestamp, t_end timestamp",
+    )
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None))
+    res = interval_join(ev, iv, bucket_width_sec=10.0)  # construction only
+    after = len(tracker.getJobIdsForGroup(None))
+    assert after == before, "explicit-width path must not launch driver jobs"
+    got = {(r["iid"], r["event_id"]) for r in res.collect()}
+    want = {(100, i) for i in range(5, 16)} | {(101, i) for i in range(30, 46)}
+    assert got == want

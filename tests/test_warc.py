@@ -143,3 +143,47 @@ def test_warc_streaming_ingestion(spark, tmp_path):
     }
     exp = {u: b for seg in segs for u, _, b in seg}
     assert got == exp
+
+
+def test_warc_concatenated_gzip_members(spark, tmp_path):
+    """Real Common-Crawl WARCs are CONCATENATED per-record gzip members
+    in one .gz file; the streaming GzipFile parse must read through
+    member boundaries transparently (r4 verdict item 5)."""
+    import gzip as _gz
+
+    recs_a = [("https://example.com/m0", "2024-01-01T00:00:00Z", b"member zero")]
+    recs_b = [
+        ("https://example.com/m1", "2024-01-01T00:01:00Z", b"member one \xff\x00"),
+        ("https://example.com/m2", "2024-01-01T00:02:00Z", b"member two"),
+    ]
+    write_warc(str(tmp_path / "a.warc.gz"), recs_a, compress=True)
+    write_warc(str(tmp_path / "b.warc.gz"), recs_b, compress=True)
+    cat = (tmp_path / "a.warc.gz").read_bytes() + (tmp_path / "b.warc.gz").read_bytes()
+    (tmp_path / "cat.warc.gz").write_bytes(cat)
+    # sanity: the fixture really is multi-member
+    assert _gz.decompress(cat)  # gzip.decompress also handles concat
+
+    got = {
+        r["url"]: bytes(r["html"])
+        for r in read_warc(spark, str(tmp_path / "cat.warc.gz")).collect()
+    }
+    assert got == {u: b for u, _, b in recs_a + recs_b}
+
+
+def test_warc_chunked_output_over_flush_threshold(spark, tmp_path):
+    """More records than the per-frame flush threshold: the parse must
+    yield multiple bounded chunks, with no record lost or duplicated
+    (resident-memory contract: O(chunk), not O(file))."""
+    from rindex_spark.sources import warc as warc_mod
+
+    n = warc_mod._FLUSH_RECORDS + 137
+    recs = [
+        (f"https://example.com/p{i}", "2024-01-01T00:00:00Z",
+         f"body {i}".encode())
+        for i in range(n)
+    ]
+    write_warc(str(tmp_path / "big.warc.gz"), recs, compress=True)
+    df = read_warc(spark, str(tmp_path / "big.warc.gz"))
+    assert df.count() == n
+    got = {r["url"]: bytes(r["html"]) for r in df.collect()}
+    assert got == {u: b for u, _, b in recs}

@@ -144,3 +144,21 @@ def test_host_stats_approx_accuracy(spark):
         assert approx[h][0] == exact[h][0]  # plain count stays exact
         rel = abs(approx[h][1] - exact[h][1]) / max(exact[h][1], 1)
         assert rel <= 0.10, (h, exact[h], approx[h])  # 2% rsd, wide margin
+
+
+def test_registered_domain_normalizes_host_case_and_trailing_dot(spark):
+    """r4 advisor: mixed-case / FQDN trailing-dot hosts must resolve
+    against the PSL suffix table the same as their normalized forms
+    (the suffix list is normalized python-side; the host expression
+    must mirror it)."""
+    df = spark.createDataFrame(
+        [("News.Example.CO.UK.",), ("WWW.EXAMPLE.COM",), ("example.co.uk",)],
+        "host string",
+    )
+    got = [
+        r["rd"]
+        for r in df.select(
+            registered_domain(F.col("host"), suffixes=["co.uk", "com"]).alias("rd")
+        ).collect()
+    ]
+    assert got == ["example.co.uk", "example.com", "example.co.uk"]
