@@ -225,9 +225,9 @@ def main() -> None:
     # (the tiny UDF-heavy entries fluctuate most at 32 threads).
     repeats = int(os.environ.get("RINDEX_BENCH_REPEATS", "3"))
 
-    def bench(name: str, fn):
+    def bench(name: str, fn, min_repeats: int = 1):
         best, out = None, None
-        for _ in range(max(repeats, 1)):
+        for _ in range(max(repeats, min_repeats, 1)):
             t0 = time.monotonic()
             out = fn()
             el = round(time.monotonic() - t0, 3)
@@ -235,6 +235,47 @@ def main() -> None:
         timings[name] = best
         if verbose:
             print(f"[bench] {name}: {timings[name]}s", file=sys.stderr, flush=True)
+        return out
+
+    # --- in-artifact A/B + diagnostics for the kNN-build entries (r4
+    # verdict items 1 + 8).  The r4 release-honesty fix made each
+    # knn_for_queries call free its predecessor's persisted round
+    # states; r3's best-of-N "warm" numbers partly measured plan-cache
+    # replay of those states.  For each kNN entry we report, next to
+    # the honest best-of-N: (a) ONE repeat with release suppressed
+    # (RINDEX_KNN_KEEP_STATES) — the cache-hit replay number, bounding
+    # how much of any round-over-round delta is the honesty fix rather
+    # than machine weather — and (b) ONE instrumented repeat
+    # (RINDEX_KNN_STATS) exporting rounds / shipped-candidate-rows /
+    # replication factor, outside the timed runs (the candidate count
+    # costs an extra job per round).
+    ab: dict[str, float] = {}
+    knn_diag: dict[str, dict] = {}
+
+    def bench_knn(name: str, fn):
+        from rindex_spark.operators import knn as knn_mod
+
+        out = bench(name, fn, min_repeats=4)
+        os.environ["RINDEX_KNN_KEEP_STATES"] = "1"
+        try:
+            t0 = time.monotonic()
+            fn()
+            ab[f"{name}_keepstates"] = round(time.monotonic() - t0, 3)
+        finally:
+            del os.environ["RINDEX_KNN_KEEP_STATES"]
+        os.environ["RINDEX_KNN_STATS"] = "1"
+        try:
+            fn()
+            knn_diag[name] = dict(knn_mod.last_run_stats)
+        finally:
+            del os.environ["RINDEX_KNN_STATS"]
+        knn_mod.release_round_states()
+        if verbose:
+            print(
+                f"[bench] {name}: keepstates={ab[f'{name}_keepstates']}s "
+                f"diag={knn_diag[name]}",
+                file=sys.stderr, flush=True,
+            )
         return out
 
     # --- headline: e2e pages -> extract -> kNN graph (k=10) ---------------
@@ -254,7 +295,7 @@ def main() -> None:
         pts.unpersist()
         return n
 
-    n_graph_rows = bench("e2e_pages_to_knn_graph", e2e)
+    n_graph_rows = bench_knn("e2e_pages_to_knn_graph", e2e)
 
     # --- component operators on events-derived points ---------------------
     pts = events.select(
@@ -273,7 +314,7 @@ def main() -> None:
         g.count()
         return g
 
-    graph = bench("knn_graph_events", _graph)
+    graph = bench_knn("knn_graph_events", _graph)
 
     q = pts.filter((F.col("id") % 101) == 0).select(
         F.col("id").alias("qid"), "x", "y", F.lit(8.0).alias("radius")
@@ -420,6 +461,14 @@ def main() -> None:
                 "n_points": n_points,
                 "n_graph_rows": n_graph_rows,
                 "docs_per_min": docs_per_min,
+                # cache-hit A/B: same build with round-state release
+                # suppressed (the r3 "warm" replay semantics) — the
+                # honest timed number minus this bounds the honesty-fix
+                # share of any round-over-round delta
+                "ab": ab,
+                # per-entry kNN diagnostics: rounds, shipped candidate
+                # rows, replication factor (shipped/n), brute-tail size
+                "knn_diag": knn_diag,
             }
         )
     )

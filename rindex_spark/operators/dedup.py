@@ -470,11 +470,14 @@ def simhash_pairs(
     )
 
 
-# Frames (edges + final labels) persisted by the most recent
-# connected_components call; released on the next call's entry so a
-# long session holds at most one closure's checkpoint blocks (the
-# knn/rknn release-on-next-call pattern, r4 advisor).
-_last_cc_frames: list = []
+# Frames (edges + final labels) persisted by the CURRENT DRIVER
+# THREAD's most recent connected_components call; released on the next
+# call's entry so a long session holds at most one closure's
+# checkpoint blocks per thread (the knn/rknn release-on-next-call
+# pattern, r4 advisor + verdict item 7).
+from rindex_spark.operators.knn import _ThreadLocalFrameList
+
+_last_cc_frames = _ThreadLocalFrameList()
 # Propagation-round count of the most recent call (rounds that changed
 # at least one label; the final confirming round is excluded) — lets
 # tests assert convergence speed without instrumenting the loop.
@@ -495,6 +498,7 @@ def connected_components(
     id_b: str = "id_b",
     max_iters: int = 50,
     checkpoint_dir: str | None = None,
+    jumps: int = 2,
 ) -> DataFrame:
     """Connected components over an undirected pair list — the closure
     step of near-duplicate dedup: MinHash / SimHash / embedding
@@ -542,9 +546,13 @@ def connected_components(
 
     _release_cc_frames()
     e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    # no distinct(): duplicate edges cannot change a MIN aggregate, and
+    # dropping it makes the doubled edge list a NARROW union — the
+    # checkpoint writes without any shuffle (pair generators emit
+    # near-unique pairs; a pathologically duplicated input only
+    # inflates the per-round join input, never the result)
     edges = _ckpt(
         e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .distinct()
     )
     _last_cc_frames.append(edges)
     labels = _ckpt(
@@ -563,21 +571,29 @@ def connected_components(
             .agg(F.min("nc").alias("nc"))
             .withColumnRenamed("a", "id")
         )
-        # pointer jump from the SAME snapshot: my label's own label
-        # (labels are always node ids, so the self-join hits; left +
-        # coalesce is belt-and-braces)
-        jmp = labels.select(F.col("id").alias("_jid"), F.col("comp").alias("jc"))
-        new_labels = _ckpt(
-            labels.join(neigh_min, "id", "left")
-            .join(jmp, F.col("comp") == F.col("_jid"), "left")
-            .withColumn(
-                "_new",
-                F.least(
-                    F.col("comp"),
-                    F.coalesce(F.col("nc"), F.col("comp")),
-                    F.coalesce(F.col("jc"), F.col("comp")),
-                ),
+        # DOUBLE pointer jump from the SAME snapshot: my label's label
+        # (jc = L(L(v))) and ITS label (jc2 = L(L(L(v)))) — labels are
+        # always node ids, so the self-joins hit (left + coalesce is
+        # belt-and-braces).  The second hop triples the per-round reach
+        # for one extra node-sized hash join, cutting a full round
+        # (3 exchanges + checkpoint) off typical diameters.
+        stepped = labels.join(neigh_min, "id", "left")
+        mins = [
+            F.col("comp"),
+            F.coalesce(F.col("nc"), F.col("comp")),
+        ]
+        prev = "comp"
+        for j in range(max(jumps, 0)):
+            jmp = labels.select(
+                F.col("id").alias(f"_jid{j}"), F.col("comp").alias(f"jc{j}")
             )
+            stepped = stepped.join(
+                jmp, F.col(prev) == F.col(f"_jid{j}"), "left"
+            )
+            mins.append(F.coalesce(F.col(f"jc{j}"), F.col("comp")))
+            prev = f"jc{j}"
+        new_labels = _ckpt(
+            stepped.withColumn("_new", F.least(*mins))
             .select(
                 "id",
                 F.col("_new").alias("comp"),

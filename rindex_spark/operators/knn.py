@@ -50,6 +50,7 @@ Scale notes (100 TB posture):
 from __future__ import annotations
 
 import os
+import threading
 import time as _time
 
 import numpy as np
@@ -99,28 +100,63 @@ def _state_schema(n_extra: int) -> str:
 # are replicated per salt, queries are split)
 _MAX_GROUP_QUERIES = 32768
 
-# Persisted per-round state frames of the most recent knn_for_queries
-# call (r3 verdict item 7: they were MEMORY_ONLY-cached and never
-# unpersisted, so repeated build_knn_graph calls in a long session
-# accumulated blocks until eviction).  Each call releases its
-# predecessor's states on entry, bounding the session footprint at one
-# call's round count; callers that have fully consumed their output can
-# reclaim immediately via release_round_states().  An unpersisted
-# state that a still-lazy result frame later needs simply recomputes
-# its deterministic lineage (the documented MEMORY_ONLY eviction
-# semantics — correctness is unaffected).
-_round_states: list = []
+class _ThreadLocalFrameList(threading.local):
+    """A per-THREAD list of persisted frames (r4 verdict item 7): the
+    release-on-next-call pattern with a plain module list meant two
+    concurrent driver threads released each other's LIVE round states
+    (correctness survived via deterministic recompute; cost did not).
+    threading.local gives each driver thread its own slot, so a call
+    only ever releases its own thread's predecessor."""
+
+    def __init__(self):
+        self.frames: list = []
+
+    def append(self, frame) -> None:
+        self.frames.append(frame)
+
+    def pop(self):
+        return self.frames.pop()
+
+    def __len__(self) -> int:
+        return len(self.frames)
+
+    def __bool__(self) -> bool:
+        return bool(self.frames)
+
+
+# Persisted per-round state frames of the CURRENT THREAD's most recent
+# knn_for_queries call (r3 verdict item 7: they were MEMORY_ONLY-cached
+# and never unpersisted, so repeated build_knn_graph calls in a long
+# session accumulated blocks until eviction).  Each call releases its
+# thread's predecessor states on entry, bounding the session footprint
+# at one call's round count PER DRIVER THREAD; callers that have fully
+# consumed their output can reclaim immediately via
+# release_round_states().  An unpersisted state that a still-lazy
+# result frame later needs simply recomputes its deterministic lineage
+# (the documented MEMORY_ONLY eviction semantics — correctness is
+# unaffected).
+_round_states = _ThreadLocalFrameList()
 
 
 def release_round_states(blocking: bool = False) -> None:
-    """Unpersist all round-state frames of the most recent
-    knn_for_queries call.  Safe to call any time after the caller has
-    consumed (collected / written) the returned DataFrame."""
+    """Unpersist all round-state frames of the current thread's most
+    recent knn_for_queries call.  Safe to call any time after the
+    caller has consumed (collected / written) the returned DataFrame."""
     while _round_states:
         try:
             _round_states.pop().unpersist(blocking=blocking)
         except Exception:
             pass
+
+
+# Diagnostics of the most recent knn_for_queries call when
+# RINDEX_KNN_STATS is set (r4 verdict item 8: promote the candidate-
+# volume numbers BENCH.md quotes to machine-readable fields): rounds
+# run, candidate rows shipped into the cogroup (the replication factor
+# the annulus trim + khi0 policy control), and the brute-tail size.
+# Counting candidates costs one extra job per round, so it is opt-in —
+# bench runs ONE instrumented repeat outside the timed best-of-N.
+last_run_stats: dict = {}
 
 
 def _make_round_udf(k: int, chunk: int = 256, cand_chunk: int = 4096, n_extra: int = 0):
@@ -769,7 +805,18 @@ def knn_for_queries(
     q_gk = F.xxhash64("sx", "sy", "r_lo", "r_hi", "salt").alias("gk")
     c_gk = F.xxhash64("ksx", "ksy", "klo", "khi", "ksalt").alias("gk")
 
-    release_round_states()  # free the PREVIOUS call's cached rounds
+    # RINDEX_KNN_KEEP_STATES: bench A/B hook (r4 verdict item 1) — keep
+    # the previous call's persisted round states so an IDENTICAL build
+    # reuses them via Spark's structural plan-cache match, reproducing
+    # the r3 "warm" cache-hit behaviour the release fix removed.  The
+    # side-by-side number quantifies how much of a timing delta is the
+    # honesty fix vs machine weather.
+    if not os.environ.get("RINDEX_KNN_KEEP_STATES"):
+        release_round_states()  # free the PREVIOUS call's cached rounds
+    stats_on = bool(os.environ.get("RINDEX_KNN_STATS"))
+    shipped_rows = 0
+    rounds_run = 0
+    brute_tail = 0
     for _round in range(cfg.max_rounds):
         _t0 = _time.monotonic()
         # candidate points for each DISTINCT (supercell, ring window):
@@ -903,6 +950,11 @@ def knn_for_queries(
             .drop("lb", "is_done")
         )
         n_left = next_frontier.count()
+        rounds_run = _round + 1
+        if stats_on:
+            # recomputes the candidate join (cand is uncached) — one
+            # extra job per round, opt-in by construction
+            shipped_rows += cand.count()
         if debug:
             # candidate-volume diagnostic (costs one extra job; debug
             # only): shipped rows / n_points = the replication factor
@@ -929,6 +981,7 @@ def knn_for_queries(
             finished_parts.append(
                 _small_frontier_knn(points, rows, k, extra_cols=extra_cols)
             )
+            brute_tail = n_left
             if debug:
                 print(f"[knn brute] {n_left} stragglers via full scan", flush=True)
             break
@@ -938,6 +991,17 @@ def knn_for_queries(
             f"knn_for_queries did not converge in {cfg.max_rounds} rounds"
         )
 
+    if stats_on:
+        last_run_stats.clear()
+        last_run_stats.update(
+            {
+                "rounds": rounds_run,
+                "shipped_rows": int(shipped_rows),
+                "n_points": int(ext["n"]),
+                "replication": round(shipped_rows / max(int(ext["n"]), 1), 3),
+                "brute_tail_queries": int(brute_tail),
+            }
+        )
     out = finished_parts[0]
     for part in finished_parts[1:]:
         out = out.unionByName(part)

@@ -32,13 +32,17 @@ from rindex_spark.functions.distance import euclidean_nd
 from rindex_spark.grid import cell_min_dist, explode_block, with_cells
 from rindex_spark.operators.stats import knn_dist
 
-# Most-recent persisted per-cell stats frame (r3 advisor: repeated
-# reverse_knn calls in a long session accumulated MEMORY_ONLY blocks).
-# Each call unpersists its predecessor on entry — the in-call cache
-# benefit (the stats agg job + the result join share one
-# materialization) is kept, and the session-wide footprint is bounded
-# at ONE cell-count-sized frame.
-_last_stats: list = []
+# Most-recent persisted per-cell stats frame OF THE CURRENT DRIVER
+# THREAD (r3 advisor: repeated reverse_knn calls in a long session
+# accumulated MEMORY_ONLY blocks; r4 verdict item 7: a plain module
+# list let concurrent driver threads release each other's live
+# frames).  Each call unpersists its thread's predecessor on entry —
+# the in-call cache benefit (the stats agg job + the result join share
+# one materialization) is kept, and the session-wide footprint is
+# bounded at ONE cell-count-sized frame per driver thread.
+from rindex_spark.operators.knn import _ThreadLocalFrameList
+
+_last_stats = _ThreadLocalFrameList()
 
 
 def _release_last_stats() -> None:

@@ -346,3 +346,50 @@ def test_asymmetric_extent_grid(spark):
     graph = build_knn_graph(pts, k)  # inferred grid: x0=-96-ish, y0=-40-ish
     oracle = brute_knn(coords, np.arange(len(coords)), k)
     check_graph_vs_oracle(graph.collect(), oracle)
+
+
+def test_knn_concurrent_driver_threads_isolated_states(spark):
+    """r4 verdict item 7: two driver threads running interleaved
+    build_knn_graph calls must not release each other's live round
+    states — the registry is thread-local, so each thread's slot holds
+    only its own call's frames, storage stays flat per thread, and
+    both results remain exact."""
+    import threading
+
+    from rindex_spark.operators import knn as knn_mod
+
+    rng = np.random.default_rng(31)
+    coords = rng.uniform(-50.0, 50.0, size=(400, 2))
+    pts = make_points(spark, coords).cache()
+    pts.count()
+    oracle = {
+        k: brute_knn(coords, np.arange(len(coords)), k) for k in (3, 5)
+    }
+
+    results: dict[int, list] = {}
+    slot_sizes: dict[int, list] = {3: [], 5: []}
+    errs: list = []
+    barrier = threading.Barrier(2)
+
+    def run(k: int):
+        try:
+            for _ in range(2):  # interleaved calls per thread
+                barrier.wait(timeout=300)
+                g = build_knn_graph(pts, k).collect()
+                slot_sizes[k].append(len(knn_mod._round_states))
+                results[k] = g
+        except Exception as e:  # pragma: no cover - surfaced below
+            errs.append(e)
+
+    ts = [threading.Thread(target=run, args=(k,)) for k in (3, 5)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(600)
+    assert not errs, errs
+    for k in (3, 5):
+        check_graph_vs_oracle(results[k], oracle[k])
+        # per-thread slot: exactly one call's round states at any time
+        assert slot_sizes[k][0] > 0
+        assert slot_sizes[k][1] == slot_sizes[k][0]
+    knn_mod.release_round_states(blocking=True)
