@@ -62,7 +62,7 @@ from rindex_spark.operators.raster import (
     rasterize_points,
     rasterize_polygons,
 )
-from rindex_spark.operators.rknn import reverse_knn
+from rindex_spark.operators.rknn import reverse_knn, rknn_stats
 from rindex_spark.operators.sessions import session_stats, sessionize
 from rindex_spark.operators.temporal import asof_join, interval_join
 from rindex_spark.operators.tiling import assign_tiles, tile_pyramid
@@ -86,6 +86,7 @@ __all__ = [
     "release_round_states",
     "range_join",
     "reverse_knn",
+    "rknn_stats",
     "cell_stats",
     "index_stats",
     "knn_dist_of",

@@ -53,6 +53,50 @@ def _release_last_stats() -> None:
             pass
 
 
+def rknn_stats(
+    points: DataFrame,
+    graph: DataFrame,
+    k: int,
+    spec: GridSpec,
+    extra_cols: tuple = (),
+) -> dict:
+    """Precompute the per-cell RkNN pruning state for a (points, graph)
+    pair so repeated ``reverse_knn`` calls on the same index launch
+    ZERO fixed driver jobs — the ``extent=``/``spec=`` amortization
+    pattern (r3 verdict item 2; without this every call pays the stats
+    aggregate + gmax collect).
+
+    Returns a handle dict {pts, stats, gmax, n_cells}; pass it as
+    ``reverse_knn(..., stats=handle)``.  The caller owns the persisted
+    stats frame's lifecycle: release with
+    ``handle["stats"].unpersist()`` when the index changes (handles
+    are NOT auto-released by later calls, unlike the internal
+    per-call path)."""
+    extra_cols = tuple(extra_cols)
+    kd = knn_dist(graph, k)  # (id, knn_dist), inf when < k rows
+    pts = with_cells(points.select("id", "x", "y", *extra_cols), spec).join(
+        kd, "id", "left"
+    )
+    pts = pts.na.fill({"knn_dist": float("inf")})
+    stats = (
+        pts.groupBy("ix", "iy")
+        .agg(F.max("knn_dist").alias("max_knn_dist"))
+        .withColumnRenamed("ix", "cix")
+        .withColumnRenamed("iy", "ciy")
+        .persist(StorageLevel.MEMORY_ONLY)
+    )
+    srow = stats.agg(
+        F.max("max_knn_dist").alias("gmax"), F.count(F.lit(1)).alias("n_cells")
+    ).collect()[0]
+    return {
+        "pts": pts,
+        "stats": stats,
+        "gmax": srow["gmax"],
+        "n_cells": srow["n_cells"],
+        "extra_cols": extra_cols,
+    }
+
+
 def reverse_knn(
     points: DataFrame,
     graph: DataFrame,
@@ -60,6 +104,7 @@ def reverse_knn(
     k: int,
     spec: GridSpec,
     extra_cols: tuple = (),
+    stats: dict | None = None,
 ) -> DataFrame:
     """points: (id, x, y[, *extra_cols]); graph: (src, dst, dist, rank)
     with k incl. self (built in the SAME dimensionality); queries:
@@ -78,33 +123,26 @@ def reverse_knn(
     cell_min_dist_2(cell(p), q) <= dist_2(p, q) <= dist_D(p, q), so
     any p with dist_D(p, q) <= knn_dist(p) <= max_knn_dist(cell)
     survives the 2-D filter; the refine is the exact full-D distance.
+
+    ``stats`` (optional): a precomputed ``rknn_stats`` handle for this
+    (points, graph, k, spec) — with it, this call launches ZERO fixed
+    driver jobs (plan construction only).
     """
     extra_cols = tuple(extra_cols)
     spark = points.sparkSession
     if k <= 0:
         return spark.createDataFrame([], "qid long, id long, dist double")
 
-    kd = knn_dist(graph, k)  # (id, knn_dist), inf when < k rows
-    pts = with_cells(points.select("id", "x", "y", *extra_cols), spec).join(
-        kd, "id", "left"
-    )
-    pts = pts.na.fill({"knn_dist": float("inf")})
-
-    _release_last_stats()
-    stats = (
-        pts.groupBy("ix", "iy")
-        .agg(F.max("knn_dist").alias("max_knn_dist"))
-        .withColumnRenamed("ix", "cix")
-        .withColumnRenamed("iy", "ciy")
-        .persist(StorageLevel.MEMORY_ONLY)
-    )
-    _last_stats.append(stats)
+    if stats is None:
+        _release_last_stats()
+        handle = rknn_stats(points, graph, k, spec, extra_cols=extra_cols)
+        _last_stats.append(handle["stats"])
+    else:
+        handle = stats
+    pts, stats = handle["pts"], handle["stats"]
+    gmax, n_cells = handle["gmax"], handle["n_cells"]
     import math
 
-    srow = stats.agg(
-        F.max("max_knn_dist").alias("gmax"), F.count(F.lit(1)).alias("n_cells")
-    ).collect()[0]
-    gmax, n_cells = srow["gmax"], srow["n_cells"]
     if not n_cells:
         return spark.createDataFrame([], "qid long, id long, dist double")
 

@@ -393,3 +393,36 @@ def test_knn_concurrent_driver_threads_isolated_states(spark):
         assert slot_sizes[k][0] > 0
         assert slot_sizes[k][1] == slot_sizes[k][0]
     knn_mod.release_round_states(blocking=True)
+
+
+def test_rknn_stats_handle_no_driver_jobs_and_identical(spark):
+    """r5: with a precomputed rknn_stats handle, reverse_knn
+    construction launches ZERO driver jobs and the result matches the
+    per-call path exactly (the range_join extent= amortization
+    pattern)."""
+    from rindex_spark.operators.rknn import rknn_stats
+
+    rng = np.random.default_rng(37)
+    coords = rng.uniform(-50.0, 50.0, size=(300, 2))
+    pts = make_points(spark, coords).cache()
+    pts.count()
+    k = 4
+    spec = infer_grid(pts, EngineConfig(k=k))
+    g = build_knn_graph(pts, k, spec=spec).cache()
+    g.count()
+    q = spark.createDataFrame(
+        [(0, 0.0, 0.0), (1, 20.0, -20.0), (2, 80.0, 80.0)],
+        "qid long, x double, y double",
+    )
+    st = rknn_stats(pts, g, k, spec)
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None))
+    res = reverse_knn(pts, g, q, k, spec, stats=st)  # construction only
+    after = len(tracker.getJobIdsForGroup(None))
+    assert after == before, "stats= path must not launch driver jobs"
+    got = sorted((r["qid"], r["id"]) for r in res.collect())
+    legacy = sorted(
+        (r["qid"], r["id"]) for r in reverse_knn(pts, g, q, k, spec).collect()
+    )
+    assert got == legacy and len(got) > 0
+    st["stats"].unpersist()
