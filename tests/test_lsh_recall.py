@@ -349,3 +349,24 @@ def test_connected_components_diameter1_one_round_and_checkpoint_dir(
         ).collect()
     }
     assert got_ckpt == got
+
+
+def test_connected_components_self_loops_duplicates_reversed(spark):
+    """Degenerate pair lists real near-dup generators can emit:
+    self-loops (a,a), duplicated pairs, and reversed duplicates must
+    not change the labeling (the edge union is deliberately
+    non-distinct — a MIN aggregate is duplicate-immune)."""
+    from rindex_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [
+            (1, 2), (2, 1), (1, 2),          # duplicate + reversed
+            (3, 3),                          # self-loop: singleton
+            (4, 5), (5, 6),                  # chain
+        ],
+        "id_a long, id_b long",
+    )
+    got = {
+        r["id"]: r["component"] for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 3, 4: 4, 5: 4, 6: 4}
