@@ -453,6 +453,35 @@ def q_corpus_build(spark, sf_dir):
     )
 
 
+def q_decontam(spark, sf_dir):
+    """Benchmark decontamination (r5, operators.dedup.
+    benchmark_contamination): every 31st doc plays the eval benchmark;
+    the rest of the corpus is scanned for shared word 3-grams.  The
+    benchmark gram set broadcasts (dimension-sized); the corpus side
+    is one explode + one count aggregate."""
+    from rindex_spark.operators.dedup import benchmark_contamination
+
+    d = _docs(spark, sf_dir)
+    bench = d.filter((F.col("doc_id") % 31) == 0)
+    corpus = d.filter((F.col("doc_id") % 31) != 0)
+    return benchmark_contamination(corpus, bench, n=3, min_hits=1)
+
+
+def q_token_budget(spark, sf_dir):
+    """Token-budget corpus sampling (r5, operators.sampling): the
+    highest-quality docs whose cumulative token count stays <= 20000 —
+    the global-order prefix computed WITHOUT a global sort (bucket
+    histogram threshold + exact boundary-bucket window; integer token
+    sums make the cumulative comparison bit-exact vs the SQL window
+    oracle)."""
+    from rindex_spark.operators.sampling import sample_to_token_budget
+
+    stats = with_text_stats(_docs(spark, sf_dir)).select(
+        "doc_id", "n_tokens", "quality_score"
+    )
+    return sample_to_token_budget(stats, budget=20000)
+
+
 def q_dedup_exact(spark, sf_dir):
     return dedup_exact(_docs(spark, sf_dir))
 
@@ -627,6 +656,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_cap": q_host_cap,
         "dedup_exact": q_dedup_exact,
         "dedup_components": q_dedup_components,
+        "decontam": q_decontam,
+        "token_budget": q_token_budget,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine": q_ann_cosine,
         "lang_detect": q_lang_detect,
@@ -996,6 +1027,31 @@ r AS (
 )
 SELECT doc_id, host, n_tokens, quality_score FROM r WHERE rn <= 5
 """
+    sql["decontam"] = """
+WITH docs AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(w) >= 3
+      THEN list_distinct(list_transform(generate_series(1, len(w) - 2),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+      ELSE [] END AS s
+  FROM docs
+),
+bg AS (SELECT DISTINCT unnest(s) AS gram FROM sh WHERE doc_id % 31 = 0),
+dg AS (SELECT doc_id, unnest(s) AS gram FROM sh WHERE doc_id % 31 <> 0)
+SELECT dg.doc_id, count(*) AS n_hits
+FROM dg JOIN bg ON dg.gram = bg.gram
+GROUP BY dg.doc_id
+HAVING count(*) >= 1
+"""
+    sql["token_budget"] = """
+WITH s AS ({TEXT_STATS2}),
+r AS (SELECT doc_id, n_tokens, quality_score,
+      sum(n_tokens) OVER (ORDER BY quality_score DESC, doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM s)
+SELECT doc_id, n_tokens, quality_score FROM r WHERE cum <= 20000
+"""
     sql["dedup_exact"] = """
 SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keep_id
 FROM documents GROUP BY md5(text)
@@ -1086,6 +1142,9 @@ FROM s
         sql["corpus_build"]
         .replace("{TEXT_STATS}", sql["text_stats"])
         .replace("{LANG_SQL2}", sql["lang_detect"])
+    )
+    sql["token_budget"] = sql["token_budget"].replace(
+        "{TEXT_STATS2}", sql["text_stats"]
     )
     sql["multimodal_features"] = """
 WITH m AS (SELECT unnest(generate_series(0, 199)) AS media_id),

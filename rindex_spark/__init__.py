@@ -44,7 +44,9 @@ from rindex_spark.operators.ann import (
     lsh_cosine_topk,
 )
 from rindex_spark.operators.dedup import (
+    benchmark_contamination,
     connected_components,
+    decontaminate,
     dedup_canonical,
     dedup_exact,
     minhash_lsh_pairs,
@@ -63,6 +65,7 @@ from rindex_spark.operators.raster import (
     rasterize_polygons,
 )
 from rindex_spark.operators.rknn import reverse_knn, rknn_stats
+from rindex_spark.operators.sampling import sample_to_token_budget
 from rindex_spark.operators.sessions import session_stats, sessionize
 from rindex_spark.operators.temporal import asof_join, interval_join
 from rindex_spark.operators.tiling import assign_tiles, tile_pyramid
@@ -87,6 +90,7 @@ __all__ = [
     "range_join",
     "reverse_knn",
     "rknn_stats",
+    "sample_to_token_budget",
     "cell_stats",
     "index_stats",
     "knn_dist_of",
@@ -95,6 +99,8 @@ __all__ = [
     "lsh_cosine_topk",
     "ivf_cosine_topk",
     "embedding_near_dup",
+    "benchmark_contamination",
+    "decontaminate",
     "dedup_exact",
     "connected_components",
     "dedup_canonical",

@@ -492,6 +492,72 @@ def _release_cc_frames() -> None:
             pass
 
 
+def benchmark_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    min_hits: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Decontamination scan (r5): flag training docs sharing at least
+    ``min_hits`` distinct word n-grams with an evaluation benchmark —
+    the standard pre-training hygiene pass (eval answers leaking into
+    the corpus inflate benchmark scores).
+
+    Shape: the benchmark's distinct n-gram set is dimension-sized
+    (eval suites are thousands of documents, not billions), so it
+    BROADCASTS (``broadcast_benchmark=False`` falls back to a shuffle
+    join for pathologically large benchmarks); the corpus side is one
+    explode + one map-side-combinable count aggregate — linear, no
+    self-join, no all-pairs anywhere.  Shingles are the same JVM-side
+    ``with_shingles`` arrays the Jaccard path uses (array_distinct per
+    doc, so count(1) after the gram join IS the distinct-hit count).
+
+    returns (``id_col``, n_hits) for every doc with
+    n_hits >= min_hits; ``decontaminate`` drops them.
+    """
+    bg = (
+        with_shingles(
+            benchmark.select(F.col(bench_text_col).alias("__t")), "__t", n
+        )
+        .select(F.explode("shingles").alias("gram"))
+        .distinct()
+    )
+    if broadcast_benchmark:
+        bg = F.broadcast(bg)
+    dg = with_shingles(
+        docs.select(F.col(id_col), F.col(text_col).alias("__t")), "__t", n
+    ).select(id_col, F.explode("shingles").alias("gram"))
+    return (
+        dg.join(bg, "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .filter(F.col("n_hits") >= min_hits)
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    min_hits: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Drop flagged docs: ``docs`` minus ``benchmark_contamination``
+    hits (left-anti on the flag table, which is hit-sized — far
+    smaller than the corpus)."""
+    flagged = benchmark_contamination(
+        docs, benchmark, n=n, min_hits=min_hits,
+        text_col=text_col, id_col=id_col, bench_text_col=bench_text_col,
+    ).select(id_col)
+    return docs.join(flagged, id_col, "left_anti")
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
