@@ -482,6 +482,26 @@ def q_token_budget(spark, sf_dir):
     return sample_to_token_budget(stats, budget=20000)
 
 
+def q_canonical_url(spark, sf_dir):
+    """Canonical-URL normalization (r5, functions.web.canonical_url):
+    deterministic dirty URLs built from (source, doc_id) — uppercase
+    authority, tracking params, fragment — must collapse to the clean
+    form.  The oracle constructs the EXPECTED canonical string from
+    first principles (not by replaying the regexes), so it checks the
+    semantics."""
+    from rindex_spark.functions.web import canonical_url
+
+    d = _docs(spark, sf_dir)
+    url = F.concat_ws(
+        "",
+        F.lit("HTTPS://WWW."), F.upper(F.col("source")), F.lit("/Doc/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?utm_source=feed&id="), (F.col("doc_id") % 7).cast("string"),
+        F.lit("&fbclid=XYZ#Sec"), (F.col("doc_id") % 3).cast("string"),
+    )
+    return d.select("doc_id", canonical_url(url).alias("curl"))
+
+
 def q_dedup_exact(spark, sf_dir):
     return dedup_exact(_docs(spark, sf_dir))
 
@@ -658,6 +678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "decontam": q_decontam,
         "token_budget": q_token_budget,
+        "canonical_url": q_canonical_url,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine": q_ann_cosine,
         "lang_detect": q_lang_detect,
@@ -1051,6 +1072,12 @@ r AS (SELECT doc_id, n_tokens, quality_score,
                           ROWS UNBOUNDED PRECEDING) AS cum
       FROM s)
 SELECT doc_id, n_tokens, quality_score FROM r WHERE cum <= 20000
+"""
+    sql["canonical_url"] = """
+SELECT doc_id,
+       'https://www.' || lower(source) || '/Doc/' || CAST(doc_id AS VARCHAR)
+       || '?id=' || CAST(doc_id % 7 AS VARCHAR) AS curl
+FROM documents
 """
     sql["dedup_exact"] = """
 SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keep_id

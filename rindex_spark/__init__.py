@@ -24,6 +24,7 @@ multimodal plumbing, tiling (point-in-polygon), raster<->vector.
 
 from rindex_spark.config import EngineConfig, GridSpec
 from rindex_spark.functions.web import (
+    canonical_url,
     hot_hosts,
     host_stats,
     host_stats_approx,
@@ -83,6 +84,7 @@ __all__ = [
     "host_stats",
     "host_stats_approx",
     "hot_hosts",
+    "canonical_url",
     "per_host_cap",
     "build_knn_graph",
     "knn_for_queries",

@@ -24,6 +24,39 @@ def url_host(url: Column) -> Column:
     return F.lower(F.try_parse_url(url, F.lit("HOST")))
 
 
+# tracking query parameters stripped by canonical_url — the usual
+# analytics/click-id noise that makes byte-equal pages differ by URL
+_TRACKING_PARAM_RE = r"utm_[a-zA-Z0-9_]+|gclid|fbclid|mc_eid|igshid|ref_src"
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical URL for URL-level dedup (r5): the same page crawled
+    via different tracking links must collapse to one key before
+    per-URL grouping (CC reality: analytics parameters explode URL
+    cardinality without changing content).
+
+    Normalization, all pure JVM regexp (no Python, no parsing UDF):
+    1. strip the fragment (``#...``),
+    2. lowercase the scheme+authority (path/query stay case-sensitive
+       per RFC 3986),
+    3. remove tracking parameters (utm_*, gclid, fbclid, mc_eid,
+       igshid, ref_src) wherever they appear,
+    4. repair the separator (first surviving param regains its ``?``)
+       and drop a dangling ``?``/``&``.
+
+    URLs without a scheme pass through steps 1/3/4 with the authority
+    left untouched (nothing matches the scheme regex, so nothing is
+    lowercased — garbage in, unchanged garbage out)."""
+    u = F.regexp_replace(url, r"#.*$", "")
+    scheme_auth = r"^([a-zA-Z][a-zA-Z0-9+.\-]*://[^/?]*)"
+    head = F.regexp_extract(u, scheme_auth, 1)
+    tail = F.regexp_replace(u, scheme_auth, "")
+    u = F.concat(F.lower(head), tail)
+    u = F.regexp_replace(u, r"[?&](?:" + _TRACKING_PARAM_RE + r")=[^&#]*", "")
+    u = F.regexp_replace(u, r"^([^?&]*)&", "$1?")
+    return F.regexp_replace(u, r"[?&]$", "")
+
+
 def registered_domain(host: Column, suffixes=None) -> Column:
     """Registered domain of a host (``news.example.com -> example.com``).
 

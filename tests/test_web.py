@@ -162,3 +162,27 @@ def test_registered_domain_normalizes_host_case_and_trailing_dot(spark):
         ).collect()
     ]
     assert got == ["example.co.uk", "example.com", "example.co.uk"]
+
+
+def test_canonical_url(spark):
+    """Fragment stripped, scheme+host lowercased (path/query case
+    preserved), tracking params removed anywhere in the query,
+    separators repaired; schemeless garbage passes through."""
+    from rindex_spark.functions.web import canonical_url
+
+    cases = [
+        ("HTTPS://WWW.Example.COM/Path?a=1#frag",
+         "https://www.example.com/Path?a=1"),
+        ("https://ex.com/p?utm_source=x&a=1&fbclid=zz&b=2",
+         "https://ex.com/p?a=1&b=2"),
+        ("https://ex.com/p?utm_campaign=x",          # only tracking
+         "https://ex.com/p"),
+        ("https://ex.com/p?utm_a=1&b=2",             # first param removed
+         "https://ex.com/p?b=2"),
+        ("http://EX.com/CaseSensitive/Path",         # path case kept
+         "http://ex.com/CaseSensitive/Path"),
+        ("no-scheme/Path?gclid=1&a=2", "no-scheme/Path?a=2"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r["c"] for r in df.select(canonical_url(F.col("url")).alias("c")).collect()]
+    assert got == [e for _, e in cases]
