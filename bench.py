@@ -403,6 +403,31 @@ def main() -> None:
         .count(),
     )
 
+    # decontamination scan: every 31st doc plays the eval benchmark
+    # (broadcast gram set), the rest is the corpus side
+    from rindex_spark.operators.dedup import benchmark_contamination
+
+    bench(
+        "decontam",
+        lambda: benchmark_contamination(
+            docs.filter((F.col("doc_id") % 31) != 0),
+            docs.filter((F.col("doc_id") % 31) == 0),
+            n=3,
+        ).count(),
+    )
+
+    # token-budget sampling: global quality-order prefix without a
+    # global sort (bucket histogram + boundary window)
+    from rindex_spark.operators.sampling import sample_to_token_budget
+
+    stats_docs = with_text_stats(docs).select(
+        "doc_id", "n_tokens", "quality_score"
+    )
+    bench(
+        "token_budget",
+        lambda: sample_to_token_budget(stats_docs, budget=100_000).count(),
+    )
+
     bench("minhash_dedup", lambda: minhash_lsh_pairs(docs, threshold=0.2).count())
 
     # hot-shingle guard under adversarial skew: EVERY doc shares a
