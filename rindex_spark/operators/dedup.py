@@ -78,7 +78,7 @@ def with_shingles(
     semantics are BIT-IDENTICAL to the old chain (space-only trim,
     Java-\\s separator class, trailing-empty tokens, first-occurrence
     distinct) — asserted against the old expression on the full sf1.0
-    corpus + unicode edge cases (tests/test_dedup.py)."""
+    corpus + unicode edge cases (tests/test_dedup_shingles.py)."""
 
     @pandas_udf(ArrayType(StringType()))
     def sh(texts: pd.Series) -> pd.Series:
@@ -607,6 +607,45 @@ def decontaminate(
     return docs.join(flagged, id_col, "left_anti")
 
 
+def _local_contract(batches):
+    """Per-PARTITION union-find with min-root union (mapInPandas):
+    yields one (node, local_root) row per distinct node seen in the
+    partition's edges.  The (node -> root) star edges have the same
+    transitive closure as the partition's raw edges, so feeding them
+    to the iterative rounds is output-identical — but every locally
+    -connected subgraph collapses to diameter 1 before the first
+    shuffle, and the edge volume drops from |E| to |V_local|.  Memory
+    is O(distinct nodes per partition) (a dict) — bounded by the input
+    partition size exactly like any per-task hash aggregate."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for b in batches:
+        for x, y in zip(b["a"].to_numpy(), b["b"].to_numpy()):
+            if x not in parent:
+                parent[x] = x
+            if y not in parent:
+                parent[y] = y
+            rx, ry = find(x), find(y)
+            if rx != ry:
+                if rx < ry:
+                    parent[ry] = rx
+                else:
+                    parent[rx] = ry
+    nodes = np.fromiter(parent.keys(), dtype=np.int64, count=len(parent))
+    roots = np.fromiter(
+        (find(int(n)) for n in nodes), dtype=np.int64, count=len(nodes)
+    )
+    yield pd.DataFrame({"a": nodes, "b": roots})
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -614,6 +653,7 @@ def connected_components(
     max_iters: int = 50,
     checkpoint_dir: str | None = None,
     jumps: int = 2,
+    local_contraction: bool = True,
 ) -> DataFrame:
     """Connected components over an undirected pair list — the closure
     step of near-duplicate dedup: MinHash / SimHash / embedding
@@ -634,6 +674,17 @@ def connected_components(
     shuffle.  Superseded label frames are unpersisted as soon as the
     next round's labels materialize (r4 advisor: 30+-round runs
     accumulated blocks).
+
+    ``local_contraction`` (r6): before the shuffle rounds, a
+    per-partition union-find (``_local_contract``) collapses each
+    input partition's edges to (node -> local-min-root) star edges —
+    a zero-shuffle map pass after which every locally-connected
+    subgraph has diameter 1, so the iterative phase stitches only the
+    CROSS-partition structure (sf1.0 chain bench: 4 rounds -> 2,
+    8.9-10.0s -> 5.2-5.8s interleaved; labels verified identical).
+    The round joins also take shuffled-hash hints — the label tables
+    are node-sized and sorting them every round is pure waste (guide
+    §3.1).
 
     ``checkpoint_dir``: when set, rounds use RELIABLE checkpointing
     (``df.checkpoint``) into that directory instead of
@@ -661,6 +712,8 @@ def connected_components(
 
     _release_cc_frames()
     e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    if local_contraction:
+        e = e.mapInPandas(_local_contract, "a long, b long")
     # no distinct(): duplicate edges cannot change a MIN aggregate, and
     # dropping it makes the doubled edge list a NARROW union — the
     # checkpoint writes without any shuffle (pair generators emit
@@ -679,7 +732,9 @@ def connected_components(
     for _ in range(max_iters):
         neigh_min = (
             edges.join(
-                labels.select(F.col("id").alias("b"), F.col("comp").alias("nc")),
+                labels.select(
+                    F.col("id").alias("b"), F.col("comp").alias("nc")
+                ).hint("shuffle_hash"),
                 "b",
             )
             .groupBy("a")
@@ -692,7 +747,7 @@ def connected_components(
         # belt-and-braces).  The second hop triples the per-round reach
         # for one extra node-sized hash join, cutting a full round
         # (3 exchanges + checkpoint) off typical diameters.
-        stepped = labels.join(neigh_min, "id", "left")
+        stepped = labels.join(neigh_min.hint("shuffle_hash"), "id", "left")
         mins = [
             F.col("comp"),
             F.coalesce(F.col("nc"), F.col("comp")),
@@ -703,7 +758,7 @@ def connected_components(
                 F.col("id").alias(f"_jid{j}"), F.col("comp").alias(f"jc{j}")
             )
             stepped = stepped.join(
-                jmp, F.col(prev) == F.col(f"_jid{j}"), "left"
+                jmp.hint("shuffle_hash"), F.col(prev) == F.col(f"_jid{j}"), "left"
             )
             mins.append(F.coalesce(F.col(f"jc{j}"), F.col("comp")))
             prev = f"jc{j}"

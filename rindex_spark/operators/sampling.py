@@ -39,6 +39,27 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+# Persisted bucketed-input frame of the CURRENT DRIVER THREAD's most
+# recent sample_to_token_budget call, released on the next call's entry
+# (the knn/rknn/cc release-on-next-call pattern): the bucketed corpus
+# is referenced by the histogram job AND both output branches
+# (keep-above filter + boundary window) — without persist the input
+# lineage (typically the regex-heavy with_text_stats) recomputes once
+# per reference (measured 6.5s -> 2.9s at sf1.0, guide §5 caching
+# rule: reused AND expensive to recompute).
+from rindex_spark.operators.knn import _ThreadLocalFrameList
+
+_last_input = _ThreadLocalFrameList()
+
+
+def _release_last_input() -> None:
+    while _last_input:
+        try:
+            _last_input.pop().unpersist(blocking=False)
+        except Exception:
+            pass
 
 
 def sample_to_token_budget(
@@ -80,7 +101,14 @@ def sample_to_token_budget(
             F.floor((F.col(order_col) - F.lit(lo)) / F.lit(span) * n_buckets),
         ),
     ).cast("long")
-    d = docs.withColumn("__bkt", bucket)
+    # persist: the histogram aggregate below materializes this once;
+    # the two output branches then read cached blocks instead of
+    # recomputing the (often expensive) input lineage.  MEMORY_AND_DISK
+    # — a corpus projection must not silently recompute under memory
+    # pressure mid-query; released on the next call (thread-local).
+    _release_last_input()
+    d = docs.withColumn("__bkt", bucket).persist(StorageLevel.MEMORY_AND_DISK)
+    _last_input.append(d)
 
     hist = (
         d.groupBy("__bkt")
