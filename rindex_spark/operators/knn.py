@@ -278,6 +278,19 @@ def _make_round_udf(k: int, chunk: int = 256, cand_chunk: int = 4096, n_extra: i
             # centered values are cell-scale.  Selection uses SQUARED
             # distance; exactness is restored by a rigorously widened
             # pool + exact f64 refine.
+            #
+            # r6 kernel shape (output-identical, measured 2.1x on a
+            # lattice subgroup / kernel CPU 87.6s -> ~35s per 1M-point
+            # build): value-only np.partition finds the k-th f32
+            # distance (the old per-row argpartition index machinery
+            # was ~75% of chunk CPU), the widened pool is ONE flat
+            # boolean mask + np.nonzero gather for the whole chunk, and
+            # (dist, id) ranking is ONE chunk-level lexsort keyed
+            # (row, dist, id) + a segmented first-k take — no per-row
+            # Python on ANY path.  Integer-lattice corpora make the
+            # k-th distance carry dozens of exact ties (the sf1.0
+            # events lattice widens EVERY row), so the old "rare" slow
+            # path was the common case there.
             gx0 = cx[lo:hi].mean()
             gy0 = cy[lo:hi].mean()
             cx32 = (cx[lo:hi] - gx0).astype(np.float32)
@@ -301,6 +314,10 @@ def _make_round_udf(k: int, chunk: int = 256, cand_chunk: int = 4096, n_extra: i
             ncl = hi - lo
             for s in range(0, qe_ - qs, chunk):
                 e = min(s + chunk, qe_ - qs)
+                m = e - s
+                pool_r: list = []
+                pool_d: list = []
+                pool_i: list = []
                 for cs_ in range(0, ncl, cand_chunk):
                     ce = min(cs_ + cand_chunk, ncl)
                     ids_c = cid[lo + cs_ : lo + ce]
@@ -311,63 +328,69 @@ def _make_round_udf(k: int, chunk: int = 256, cand_chunk: int = 4096, n_extra: i
                     d32 += dy32
                     del dy32
                     kk = min(k, ce - cs_)
-                    part = np.argpartition(d32, kk - 1, axis=1)[:, :kk]
-                    pmax = np.take_along_axis(d32, part, axis=1).max(axis=1).astype(
+                    # k-th smallest f32 squared distance per row, then
+                    # widen by 4x the derived error bound: a true top-k
+                    # member's f32 value exceeds it by at most
+                    # 2*err(kth_true^2), kth_true^2 <= kth + err
+                    kth = np.partition(d32, kk - 1, axis=1)[:, kk - 1].astype(
                         np.float64
                     )
-                    # widen by 4x the derived error bound at pmax: a
-                    # true top-k member's f32 value exceeds pmax by at
-                    # most 2*err(kth_true^2), kth_true^2 <= pmax + err
                     err = (
-                        3.0 * np.sqrt(np.maximum(pmax, 0.0)) * _e1
+                        3.0 * np.sqrt(np.maximum(kth, 0.0)) * _e1
                         + 2.0 * _e1 * _e1
-                        + 3.0 * pmax * 2.0**-24
+                        + 3.0 * kth * 2.0**-24
                     )
-                    thr = pmax + 4.0 * err + 1e-300
-                    n_le = (d32 <= thr[:, None]).sum(axis=1)
-                    # --- vectorized fast path (the overwhelmingly
-                    # common case: pool not widened, no carried state).
-                    # A per-query merge loop here costs a Python lexsort
-                    # per POINT — ~100 s of the 2M-point round; the
-                    # row-wise refine below replaces it with five
-                    # whole-chunk numpy ops.  (dist, id) order comes
-                    # from two stable argsorts: secondary key first.
-                    fresh = np.array(
-                        [len(prev_d[qs + s + r]) == 0 for r in range(e - s)]
-                    )
-                    fast = fresh & (n_le <= kk)
-                    if fast.any():
-                        fidx = np.nonzero(fast)[0]
-                        pool = part[fidx]  # (m, kk) candidate offsets
-                        gx = cx[lo + cs_ :][pool]
-                        gy = cy[lo + cs_ :][pool]
-                        ddx = qx[qs + s + fidx][:, None] - gx
-                        ddy = qy[qs + s + fidx][:, None] - gy
-                        dd = np.sqrt(ddx * ddx + ddy * ddy)
-                        ii = ids_c[pool]
-                        o1 = np.argsort(ii, axis=1, kind="stable")
-                        dd = np.take_along_axis(dd, o1, axis=1)
-                        ii = np.take_along_axis(ii, o1, axis=1)
-                        o2 = np.argsort(dd, axis=1, kind="stable")
-                        dd = np.take_along_axis(dd, o2, axis=1)[:, :k]
-                        ii = np.take_along_axis(ii, o2, axis=1)[:, :k]
-                        for m, r in enumerate(fidx):
-                            prev_d[qs + s + r] = dd[m]
-                            prev_i[qs + s + r] = ii[m]
-                    for r in np.nonzero(~fast)[0]:
-                        if n_le[r] > kk:
-                            idxs = np.nonzero(d32[r] <= thr[r])[0]
-                        else:
-                            idxs = part[r]
-                        # exact f64 refine on the pool only — ORIGINAL
-                        # coordinates, canonical IEEE op order (matches
-                        # the reference and the SQL oracles)
-                        gx = cx[lo + cs_ + idxs]
-                        gy = cy[lo + cs_ + idxs]
-                        ddx = qx[qs + s + r] - gx
-                        ddy = qy[qs + s + r] - gy
-                        dd = np.sqrt(ddx * ddx + ddy * ddy)
-                        merge_into(qs + s + r, dd, ids_c[idxs])
+                    thr = kth + 4.0 * err + 1e-300
+                    # pool = every candidate within the widened bound.
+                    # The f64 compare d32 <= thr is done in f32 against
+                    # the round-DOWN of thr (exact: a f32 value exceeds
+                    # f64 t iff it exceeds the largest f32 <= t),
+                    # avoiding a full-matrix f64 upcast temp.
+                    thr32 = thr.astype(np.float32)
+                    over = thr32.astype(np.float64) > thr
+                    if over.any():
+                        thr32[over] = np.nextafter(
+                            thr32[over], np.float32(-np.inf)
+                        )
+                    rows, cols = np.nonzero(d32 <= thr32[:, None])
+                    # exact f64 refine on the pool only — ORIGINAL
+                    # coordinates, canonical IEEE op order (matches the
+                    # reference and the SQL oracles)
+                    ddx = qx[qs + s + rows] - cx[lo + cs_ + cols]
+                    ddy = qy[qs + s + rows] - cy[lo + cs_ + cols]
+                    pool_r.append(rows)
+                    pool_d.append(np.sqrt(ddx * ddx + ddy * ddy))
+                    pool_i.append(ids_c[cols])
+                if len(pool_r) == 1:
+                    rows, dd, ii = pool_r[0], pool_d[0], pool_i[0]
+                else:
+                    rows = np.concatenate(pool_r)
+                    dd = np.concatenate(pool_d)
+                    ii = np.concatenate(pool_i)
+                # one lexsort for the whole chunk: group rows, order
+                # (dist, id) asc within each — then keep each row's
+                # first k (cand chunks partition the candidate range,
+                # so no within-call duplicates to dedupe)
+                order = np.lexsort((ii, dd, rows))
+                r_s = rows[order]
+                dd_s = dd[order]
+                ii_s = ii[order]
+                counts = np.bincount(r_s, minlength=m)
+                starts = np.zeros(m + 1, dtype=np.int64)
+                np.cumsum(counts, out=starts[1:])
+                keep = (np.arange(len(r_s), dtype=np.int64) - starts[r_s]) < k
+                dd_k = dd_s[keep]
+                ii_k = ii_s[keep]
+                kstarts = np.zeros(m + 1, dtype=np.int64)
+                np.cumsum(np.minimum(counts, k), out=kstarts[1:])
+                for r in range(m):
+                    a, b = int(kstarts[r]), int(kstarts[r + 1])
+                    gq = qs + s + r
+                    if len(prev_d[gq]):
+                        merge_into(gq, dd_k[a:b], ii_k[a:b])
+                    else:
+                        prev_d[gq] = dd_k[a:b]
+                        prev_i[gq] = ii_k[a:b]
 
         def run_subgroup_nd(qs, qe_, lo, hi):
             # D > 2: exact full-D f64 squared distances (no f32 lane);
@@ -583,28 +606,32 @@ def _small_frontier_knn(
 
 
 def _unpack_best(batches):
-    """mapInPandas: packed binary best lists -> (qid, id, dist, rank)."""
+    """mapInPandas: packed binary best lists -> (qid, id, dist, rank).
+
+    r6: vectorized — the packed per-query byte strings concatenate into
+    ONE buffer per Arrow batch (b"".join + np.frombuffer), qid/rank come
+    from np.repeat/arange segment arithmetic.  The old per-query Python
+    loop cost ~3 µs x n_queries per build (~3 s CPU at 1M points)."""
     for b in batches:
-        qids, ids, dists, ranks = [], [], [], []
-        for qid, bd, bi in zip(b["qid"], b["best_dist"], b["best_id"]):
-            if not bd:
-                continue
-            d = np.frombuffer(bd, dtype=np.float64)
-            i = np.frombuffer(bi, dtype=np.int64)
-            n = len(d)
-            qids.append(np.full(n, qid, dtype=np.int64))
-            ids.append(i)
-            dists.append(d)
-            ranks.append(np.arange(1, n + 1, dtype=np.int32))
-        if qids:
-            yield pd.DataFrame(
-                {
-                    "qid": np.concatenate(qids),
-                    "id": np.concatenate(ids),
-                    "dist": np.concatenate(dists),
-                    "rank": np.concatenate(ranks),
-                }
-            )
+        bd = b["best_dist"]
+        bi = b["best_id"]
+        lens = np.fromiter(
+            (0 if x is None else len(x) >> 3 for x in bd),
+            dtype=np.int64,
+            count=len(bd),
+        )
+        total = int(lens.sum())
+        if total == 0:
+            continue
+        d = np.frombuffer(b"".join(x for x in bd if x), dtype=np.float64)
+        i = np.frombuffer(b"".join(x for x in bi if x), dtype=np.int64)
+        qids = np.repeat(b["qid"].to_numpy(dtype=np.int64), lens)
+        starts = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens, out=starts[1:])
+        rank = (
+            np.arange(total, dtype=np.int64) - np.repeat(starts[:-1], lens) + 1
+        ).astype(np.int32)
+        yield pd.DataFrame({"qid": qids, "id": i, "dist": d, "rank": rank})
 
 
 def knn_for_queries(

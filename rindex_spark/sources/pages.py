@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from rindex_spark.functions.text import extract_geotag, extract_text
+from rindex_spark.functions.text import extract_text
 
 
 def iceberg_available(spark: SparkSession) -> bool:
@@ -28,23 +28,40 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
+# the exact pattern of functions.text._GEO_RE — identical Java/Python
+# regex semantics for this character-class pattern (no \s, no flags)
+_GEO_PATTERN = '<meta name="geo\\.position" content="([^";]+);([^"]+)"'
+
+
 def points_from_pages(pages: DataFrame, id_col: str = "page_id") -> DataFrame:
     """pages -> (id, x, y): geotag extraction (lon->x, lat->y).
 
     Uses the stable generator id when present; otherwise derives
     id = xxhash64(url) (stable slot-id analogue, never reused —
-    reference arena ids: lib/src/index.rs:24-36)."""
+    reference arena ids: lib/src/index.rs:24-36).
+
+    r6: the extraction is a JVM ``regexp_extract`` over the decoded
+    html instead of the ``extract_geotag`` pandas UDF — the e2e
+    pipeline no longer ships the html payload across the Python
+    boundary a second time (ArrowEvalPython node gone; guide §4.1:
+    built-ins beat UDFs).  Results are identical: both regex engines
+    find the same first match for this pattern, and Python float() and
+    Spark's string->double cast are both correctly-rounded IEEE
+    parses; a missing tag yields "" -> null -> filtered, exactly like
+    the UDF's None (byte-parity asserted in tests/test_text.py)."""
     gid = (
         F.col(id_col)
         if id_col in pages.columns
         else F.xxhash64(F.col("url"))
     )
-    tagged = pages.withColumn("_geo", extract_geotag(F.col("html")))
+    h = F.col("html").cast("string")
+    lat = F.nullif(F.regexp_extract(h, _GEO_PATTERN, 1), F.lit(""))
+    lon = F.nullif(F.regexp_extract(h, _GEO_PATTERN, 2), F.lit(""))
     return (
-        tagged.select(
+        pages.select(
             gid.alias("id"),
-            F.col("_geo.lon").alias("x"),
-            F.col("_geo.lat").alias("y"),
+            lon.cast("double").alias("x"),
+            lat.cast("double").alias("y"),
         )
         .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
     )

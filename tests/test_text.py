@@ -39,6 +39,45 @@ def test_geotag_roundtrip_exact(spark):
         assert r["y"] == y[r["id"]]
 
 
+def test_points_from_pages_matches_pandas_extractor(spark):
+    """r6: points_from_pages runs a JVM regexp_extract; it must equal
+    the extract_geotag pandas UDF bit-for-bit, including dropping pages
+    with no geo tag."""
+    from rindex_spark.functions.text import extract_geotag
+
+    pages = generate_pages(spark, 150, dist="uniform", seed=9)
+    # strip the tag from every 5th page: those rows must be filtered
+    pages = pages.withColumn(
+        "html",
+        F.when(
+            (F.col("page_id") % 5) == 0,
+            F.encode(
+                F.regexp_replace(
+                    F.decode("html", "utf-8"), '<meta name="geo[^>]*>', ""
+                ),
+                "utf-8",
+            ),
+        ).otherwise(F.col("html")),
+    )
+    got = {
+        r["id"]: (r["x"], r["y"])
+        for r in points_from_pages(pages).collect()
+    }
+    ref_rows = (
+        pages.withColumn("_geo", extract_geotag(F.col("html")))
+        .select(
+            F.col("page_id").alias("id"),
+            F.col("_geo.lon").alias("x"),
+            F.col("_geo.lat").alias("y"),
+        )
+        .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+        .collect()
+    )
+    ref = {r["id"]: (r["x"], r["y"]) for r in ref_rows}
+    assert got == ref
+    assert len(got) == 120  # 30 tagless pages dropped
+
+
 def test_generator_partition_invariance(spark):
     """The generator is a pure function of the row id: 1 partition and 7
     partitions must produce identical tables."""
