@@ -32,6 +32,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, LongType
 
+from rindex_spark.plans.scan import spread_scan
+
 
 def _dot(a, b):
     """JVM-side dot product of two array columns in double precision,
@@ -142,15 +144,17 @@ def cosine_topk(
     returns (qid, neighbor_id, score, rank), rank by (score desc, id).
     """
     q0 = queries.select("qid", F.col(vec_col).alias("_qv"))
-    n_q = q0.count()
-    if n_q == 0:
+    # ONE bounded driver job decides the plan AND fetches the matrix
+    # (r6; previously a count job + a collect job): limit(max+1) keeps
+    # the driver fetch bounded, and if the limit bites we rebuild from
+    # the full query frame in the crossjoin fallback anyway.
+    qrows = q0.limit(max_broadcast_queries + 1).collect()
+    if not qrows:
         return corpus.sparkSession.createDataFrame(
             [], "qid long, neighbor_id long, score double, rank int"
         )
-    if n_q > max_broadcast_queries:
+    if len(qrows) > max_broadcast_queries:
         return _cosine_topk_crossjoin(corpus, queries, k, vec_col, id_col, include_self)
-
-    qrows = q0.collect()
     qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
     qm = np.array([np.asarray(r["_qv"], dtype=np.float64) for r in qrows])
     qnorm = np.sqrt((qm * qm).sum(axis=1))
@@ -161,11 +165,30 @@ def cosine_topk(
     def scan(batches):
         b_qids, b_qmn, b_qok = bc.value
         nq = len(b_qids)
-        # running per-query top-k over the whole partition, kept as
-        # (score desc, id asc)-sorted arrays
-        best_s = [None] * nq
-        best_i = [None] * nq
+        # running per-query top-k over the whole partition as PADDED
+        # (nq, k) arrays — (-inf, int64max) sentinel slots sort last
+        # under the (score desc, id asc) double argsort, so the whole
+        # merge is five chunk-level numpy ops instead of a per-query
+        # Python lexsort (r6; the old loop was ~2000 lexsorts per Arrow
+        # batch).  Sentinels can never displace a real candidate (cos
+        # scores are >= -1.0) and are dropped at emit.
+        _PAD_ID = np.iinfo(np.int64).max
+        best_s = np.full((nq, k), -np.inf)
+        best_i = np.full((nq, k), _PAD_ID, dtype=np.int64)
         dim = b_qmn.shape[1]
+
+        def merge_rows(sl, cand_s, cand_i):
+            """Merge (m, c) candidate blocks into best[sl] by
+            (score desc, id asc): secondary key sorted first, both
+            stable."""
+            ms = np.concatenate([best_s[sl], cand_s], axis=1)
+            mi = np.concatenate([best_i[sl], cand_i], axis=1)
+            o1 = np.argsort(mi, axis=1, kind="stable")
+            ms = np.take_along_axis(ms, o1, axis=1)
+            mi = np.take_along_axis(mi, o1, axis=1)
+            o2 = np.argsort(-ms, axis=1, kind="stable")
+            best_s[sl] = np.take_along_axis(ms, o2, axis=1)[:, :k]
+            best_i[sl] = np.take_along_axis(mi, o2, axis=1)[:, :k]
         for b in batches:
             ids = b["neighbor_id"].to_numpy(dtype=np.int64)
             if not len(ids):
@@ -182,32 +205,18 @@ def cosine_topk(
                 bad_ids = ids[~good]
                 ids = ids[good]
                 vecs = [v for v, g in zip(vecs, good) if g]
-                # ONE batched -1.0 merge per query per Arrow batch (r3
-                # advisor: the per-pair concatenate+lexsort was
-                # O(n_bad*n_q*k)); and since -1.0 can only enter a pool
-                # that isn't yet full of strictly-better scores, queries
-                # whose current top-k floor beats -1.0 skip the merge.
-                for qj in range(nq):
-                    if (
-                        best_s[qj] is not None
-                        and len(best_s[qj]) >= k
-                        and best_s[qj][-1] > -1.0
-                    ):
-                        continue
-                    bi = (
-                        bad_ids
-                        if include_self
-                        else bad_ids[bad_ids != b_qids[qj]]
-                    )
-                    if not len(bi):
-                        continue
-                    cs_ = np.full(len(bi), -1.0)
-                    ci_ = bi
-                    if best_s[qj] is not None:
-                        cs_ = np.concatenate([best_s[qj], cs_])
-                        ci_ = np.concatenate([best_i[qj], ci_])
-                    o = np.lexsort((ci_, -cs_))[:k]
-                    best_s[qj], best_i[qj] = cs_[o], ci_[o]
+                # ONE batched -1.0 merge for ALL queries at once: the
+                # bad rows score -1.0 against every query; self-matches
+                # are masked to sentinels when include_self is off.
+                nb = len(bad_ids)
+                if nb:
+                    cand_s = np.full((nq, nb), -1.0)
+                    cand_i = np.broadcast_to(bad_ids, (nq, nb)).copy()
+                    if not include_self:
+                        self_m = cand_i == b_qids[:, None]
+                        cand_s[self_m] = -np.inf
+                        cand_i[self_m] = _PAD_ID
+                    merge_rows(slice(0, nq), cand_s, cand_i)
                 if not len(ids):
                     continue
             cm = np.vstack(vecs)
@@ -225,35 +234,29 @@ def cosine_topk(
                     s[ids[:, None] == b_qids[None, qs:qe]] = -np.inf
                 kk = min(k, s.shape[0])
                 top = np.argpartition(-s, kk - 1, axis=0)[:kk]
-                for j in range(qe - qs):
-                    cand_i = ids[top[:, j]]
-                    cand_s = s[top[:, j], j]
-                    keep = cand_s > -np.inf
-                    cand_i, cand_s = cand_i[keep], cand_s[keep]
-                    qj = qs + j
-                    if best_s[qj] is not None:
-                        cand_s = np.concatenate([best_s[qj], cand_s])
-                        cand_i = np.concatenate([best_i[qj], cand_i])
-                    o = np.lexsort((cand_i, -cand_s))[:k]
-                    best_s[qj], best_i[qj] = cand_s[o], cand_i[o]
-        out_q, out_i, out_s = [], [], []
-        for j in range(nq):
-            if best_s[j] is None or not len(best_s[j]):
-                continue
-            out_q.append(np.full(len(best_s[j]), b_qids[j], dtype=np.int64))
-            out_i.append(best_i[j])
-            out_s.append(best_s[j])
-        if out_q:
+                cand_s = np.take_along_axis(s, top, axis=0).T  # (m, kk)
+                cand_i = ids[top].T.copy()
+                excl = ~np.isfinite(cand_s)  # -inf self-matches
+                if excl.any():
+                    cand_i[excl] = _PAD_ID
+                merge_rows(slice(qs, qe), cand_s, cand_i)
+        real = best_s > -np.inf  # sentinel slots drop at emit
+        lens = real.sum(axis=1)
+        nz = lens > 0
+        if nz.any():
             yield pd.DataFrame(
                 {
-                    "qid": np.concatenate(out_q),
-                    "neighbor_id": np.concatenate(out_i),
-                    "score": np.concatenate(out_s),
+                    "qid": np.repeat(b_qids[nz], lens[nz]),
+                    "neighbor_id": best_i[real],
+                    "score": best_s[real],
                 }
             )
 
-    partials = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    # spread_scan: a few-MB corpus scans as 1-2 file splits, pinning
+    # the matmul to 1-2 cores (measured 2.5s -> 1.0s at sf1.0); no-op
+    # on at-scale inputs
+    partials = spread_scan(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
     ).mapInPandas(scan, schema="qid long, neighbor_id long, score double")
     w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
     return (
@@ -273,7 +276,9 @@ def _cosine_topk_crossjoin(
 ) -> DataFrame:
     """Fallback exact plan for query sides too large to broadcast as a
     matrix: crossJoin(broadcast) scored by the vectorized pair UDF."""
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    c = spread_scan(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    )
     q = queries.select(F.col("qid"), F.col(vec_col).alias("_qv"))
     pairs = c.crossJoin(F.broadcast(q))
     if not include_self:
@@ -323,6 +328,56 @@ def hyperplane_signature_udf(dim: int, n_planes: int = 16, seed: int = 7):
     return sig
 
 
+def hyperplane_signatures_udf(dim: int, n_planes: int, n_tables: int, seed_base: int):
+    """All ``n_tables`` hyperplane signatures in ONE vectorized pass
+    (r6): one array<long> of length n_tables per row, exploded to
+    (table, bucket) downstream with posexplode.  Table t's planes are
+    seeded ``seed_base + t`` and its projection runs the same matmul
+    the single-table UDF ran, so every bucket value is identical — the
+    corpus just crosses the Python boundary once instead of n_tables
+    times (guide §4.1; the near-dup entry ran 6 ArrowEvalPython scans
+    of the same vectors).  Null / ragged vectors get [-1] * n_tables
+    (the sentinel contract of hyperplane_signature_udf)."""
+    planes = [
+        np.random.default_rng(seed_base + t).standard_normal((dim, n_planes))
+        for t in range(n_tables)
+    ]
+    weights = 1 << np.arange(n_planes, dtype=np.uint64)
+
+    @pandas_udf(ArrayType(LongType()))
+    def sigs(vecs: pd.Series) -> pd.Series:
+        n = len(vecs)
+        out = np.full((n, n_tables), -1, dtype=np.int64)
+        va = [
+            np.asarray(v, dtype=np.float64) if v is not None else None
+            for v in vecs
+        ]
+        good = [
+            i
+            for i, v in enumerate(va)
+            if v is not None and v.ndim == 1 and len(v) == dim
+        ]
+        if good:
+            m = np.vstack([va[i] for i in good])
+            for t in range(n_tables):
+                bits = (m @ planes[t]) > 0
+                out[good, t] = (bits.astype(np.uint64) @ weights).astype(np.int64)
+        return pd.Series(list(out))
+
+    return sigs
+
+
+def _bucketed(df, id_out: str, vec: str, dim, n_planes, n_tables, seed_base):
+    """(id, table, bucket) rows for every table, one UDF pass, sentinel
+    buckets dropped."""
+    sig_all = hyperplane_signatures_udf(dim, n_planes, n_tables, seed_base)
+    return (
+        spread_scan(df).withColumn("_sigs", sig_all(F.col(vec)))
+        .select(id_out, F.posexplode("_sigs").alias("table", "bucket"))
+        .filter(F.col("bucket") != -1)
+    )
+
+
 def lsh_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -337,35 +392,13 @@ def lsh_cosine_topk(
     """Approximate top-k: n_tables independent hyperplane signatures;
     candidates = same bucket in ANY table; exact cosine on candidates.
     returns (qid, neighbor_id, score, rank)."""
-    parts = []
     c0 = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
     q0 = queries.select("qid", F.col(vec_col).alias("_qv"))
-    for t in range(n_tables):
-        sig = hyperplane_signature_udf(dim, n_planes, seed=100 + t)
-        parts.append(
-            c0.withColumn("bucket", sig(F.col("_cv")))
-            .withColumn("table", F.lit(t))
-            .select("neighbor_id", "table", "bucket")
-        )
-    cbuckets = parts[0]
-    for p in parts[1:]:
-        cbuckets = cbuckets.unionByName(p)
-
-    qparts = []
-    for t in range(n_tables):
-        sig = hyperplane_signature_udf(dim, n_planes, seed=100 + t)
-        qparts.append(
-            q0.withColumn("bucket", sig(F.col("_qv")))
-            .withColumn("table", F.lit(t))
-            .select("qid", "table", "bucket")
-        )
-    qbuckets = qparts[0]
-    for p in qparts[1:]:
-        qbuckets = qbuckets.unionByName(p)
+    cbuckets = _bucketed(c0, "neighbor_id", "_cv", dim, n_planes, n_tables, 100)
+    qbuckets = _bucketed(q0, "qid", "_qv", dim, n_planes, n_tables, 100)
 
     cand = (
-        qbuckets.filter(F.col("bucket") != -1)
-        .join(cbuckets.filter(F.col("bucket") != -1), ["table", "bucket"])
+        qbuckets.join(cbuckets, ["table", "bucket"])
         .select("qid", "neighbor_id")
         .distinct()
     )
@@ -540,7 +573,9 @@ def ivf_cosine_topk(
         return corpus.sparkSession.createDataFrame(
             [], "qid long, neighbor_id long, score double, rank int"
         )
-    assigned = ivf_assign(c0, centroids, "_cv", out_col="cluster", n_probe=1)
+    assigned = ivf_assign(
+        spread_scan(c0), centroids, "_cv", out_col="cluster", n_probe=1
+    )
     q0 = queries.select("qid", F.col(vec_col).alias("_qv"))
     qprobed = ivf_assign(q0, centroids, "_qv", out_col="cluster", n_probe=n_probe)
 
@@ -570,18 +605,9 @@ def embedding_near_dup(
     """Near-duplicate pairs (a < b) with cosine >= threshold, via LSH
     buckets + exact refine.  returns (id_a, id_b, score)."""
     c0 = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("_v"))
-    parts = []
-    for t in range(n_tables):
-        sig = hyperplane_signature_udf(dim, n_planes, seed=500 + t)
-        parts.append(
-            c0.withColumn("bucket", sig(F.col("_v")))
-            .withColumn("table", F.lit(t))
-            .select("vid", "table", "bucket")
-        )
-    b = parts[0]
-    for p in parts[1:]:
-        b = b.unionByName(p)
-    b = b.filter(F.col("bucket") != -1)  # null/ragged rows can't near-dup
+    # all tables' signatures in ONE corpus pass (r6); null/ragged rows
+    # carry sentinel buckets and are dropped — they can't near-dup
+    b = _bucketed(c0, "vid", "_v", dim, n_planes, n_tables, 500)
     aa = b.alias("a")
     bb = b.alias("b")
     cand = (

@@ -31,6 +31,8 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, LongType, StringType
 from pyspark.storagelevel import StorageLevel
 
+from rindex_spark.plans.scan import spread_scan
+
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact duplicate groups: (text_hash, n_docs, keep_id) — keep the
     smallest id per identical text; map-side combinable aggregate."""
@@ -137,7 +139,10 @@ def ngram_jaccard_pairs(
     """
     _bcast = F.broadcast if broadcast_doc_stats else (lambda d: d)
     sh = (
-        with_shingles(df.select(F.col(id_col).alias("doc"), F.col(text_col)), text_col, n)
+        with_shingles(
+            spread_scan(df.select(F.col(id_col).alias("doc"), F.col(text_col))),
+            text_col, n,
+        )
         .select("doc", "shingles")
         .withColumn("sh_size", F.size("shingles"))
         # referenced by the index, the size table, and BOTH verify
@@ -267,7 +272,9 @@ def hashed_shingles(
     """(doc, h array<long>) — xxhash64 of each distinct word n-gram,
     computed ENTIRELY JVM-side (with_shingles + transform(xxhash64)):
     no Python touches a shingle string."""
-    sh = with_shingles(df.select(F.col(id_col).alias("doc"), F.col(text_col)), text_col, n)
+    sh = with_shingles(
+        spread_scan(df.select(F.col(id_col).alias("doc"), F.col(text_col))), text_col, n
+    )
     return sh.select(
         "doc", F.transform(F.col("shingles"), lambda s: F.xxhash64(s)).alias("h")
     )
@@ -389,7 +396,10 @@ def minhash_lsh_pairs(
     # exact verify on candidates only (shingles materialized once —
     # joined on both pair sides)
     sh = (
-        with_shingles(df.select(F.col(id_col).alias("doc"), F.col(text_col)), text_col, n)
+        with_shingles(
+            spread_scan(df.select(F.col(id_col).alias("doc"), F.col(text_col))),
+            text_col, n,
+        )
         .select("doc", "shingles")
         .persist(StorageLevel.MEMORY_ONLY)
     )
@@ -421,9 +431,11 @@ def simhash64(
         F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
         lambda w: w != "",
     )
-    hashed = df.select(
-        F.col(id_col).alias("doc"),
-        F.transform(toks, lambda w: F.xxhash64(w)).alias("h"),
+    hashed = spread_scan(
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.transform(toks, lambda w: F.xxhash64(w)).alias("h"),
+        )
     )
     shifts = np.arange(64, dtype=np.uint64)
     chunk_tokens = 1 << 19  # ~128 MB of int32 bit matrix per chunk
@@ -570,7 +582,7 @@ def benchmark_contamination(
     """
     bg = (
         with_shingles(
-            benchmark.select(F.col(bench_text_col).alias("__t")), "__t", n
+            spread_scan(benchmark.select(F.col(bench_text_col).alias("__t"))), "__t", n
         )
         .select(F.explode("shingles").alias("gram"))
         .distinct()
@@ -578,7 +590,7 @@ def benchmark_contamination(
     if broadcast_benchmark:
         bg = F.broadcast(bg)
     dg = with_shingles(
-        docs.select(F.col(id_col), F.col(text_col).alias("__t")), "__t", n
+        spread_scan(docs.select(F.col(id_col), F.col(text_col).alias("__t"))), "__t", n
     ).select(id_col, F.explode("shingles").alias("gram"))
     return (
         dg.join(bg, "gram")

@@ -590,7 +590,9 @@ def _small_frontier_knn(
         if rows["qid"]:
             yield pd.DataFrame({c: np.concatenate(v) for c, v in rows.items()})
 
-    partials = points.select("id", "x", "y", *extra_cols).mapInPandas(
+    from rindex_spark.plans.scan import spread_scan
+
+    partials = spread_scan(points.select("id", "x", "y", *extra_cols)).mapInPandas(
         scan, schema="qid long, id long, dist double, rank int"
     )
     # partition-local top-k lists -> global top-k (tiny volume:

@@ -50,6 +50,7 @@ from pyspark.storagelevel import StorageLevel
 # per reference (measured 6.5s -> 2.9s at sf1.0, guide §5 caching
 # rule: reused AND expensive to recompute).
 from rindex_spark.operators.knn import _ThreadLocalFrameList
+from rindex_spark.plans.scan import spread_scan
 
 _last_input = _ThreadLocalFrameList()
 
@@ -107,7 +108,11 @@ def sample_to_token_budget(
     # — a corpus projection must not silently recompute under memory
     # pressure mid-query; released on the next call (thread-local).
     _release_last_input()
-    d = docs.withColumn("__bkt", bucket).persist(StorageLevel.MEMORY_AND_DISK)
+    d = (
+        spread_scan(docs)
+        .withColumn("__bkt", bucket)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     _last_input.append(d)
 
     hist = (
