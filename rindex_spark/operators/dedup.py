@@ -65,6 +65,36 @@ def _shingle_list(t, n: int) -> list[str]:
     )
 
 
+def _with_shingles_jvm(
+    df: DataFrame, text_col: str = "text", n: int = 3, out: str = "shingles"
+) -> DataFrame:
+    """JVM expression variant of ``with_shingles`` (n shifted slices
+    zip_with-concatenated; bit-identical to the Arrow path, asserted in
+    tests/test_dedup_shingles.py).  Used by consumers that keep the
+    arrays IN the JVM (MinHash hashes them with transform(xxhash64),
+    the LSH verify intersects them): for those, shipping gram strings
+    out through Arrow and back costs more than the interpreted lambda
+    chain saves (minhash_dedup 1.5s -> 4.6s when they shared the Arrow
+    path).  Exploding consumers use ``with_shingles`` — the explode
+    re-evaluates this whole chain per reference, which is where the
+    interpreted per-element cost blows up (12s vs 2.3s)."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    cnt = F.greatest(F.size(words) - (n - 1), F.lit(0))
+    grams = F.slice(words, 1, cnt)
+    for j in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice(words, j + 1, cnt),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return df.withColumn(
+        out,
+        F.when(F.size(words) >= n, F.array_distinct(grams)).otherwise(
+            F.array().cast("array<string>")
+        ),
+    )
+
+
 def with_shingles(
     df: DataFrame, text_col: str = "text", n: int = 3, out: str = "shingles"
 ) -> DataFrame:
@@ -80,7 +110,8 @@ def with_shingles(
     semantics are BIT-IDENTICAL to the old chain (space-only trim,
     Java-\\s separator class, trailing-empty tokens, first-occurrence
     distinct) — asserted against the old expression on the full sf1.0
-    corpus + unicode edge cases (tests/test_dedup_shingles.py)."""
+    corpus + unicode edge cases (tests/test_dedup_shingles.py).  See
+    ``_with_shingles_jvm`` for the non-exploding consumers."""
 
     @pandas_udf(ArrayType(StringType()))
     def sh(texts: pd.Series) -> pd.Series:
@@ -272,7 +303,7 @@ def hashed_shingles(
     """(doc, h array<long>) — xxhash64 of each distinct word n-gram,
     computed ENTIRELY JVM-side (with_shingles + transform(xxhash64)):
     no Python touches a shingle string."""
-    sh = with_shingles(
+    sh = _with_shingles_jvm(
         spread_scan(df.select(F.col(id_col).alias("doc"), F.col(text_col))), text_col, n
     )
     return sh.select(
@@ -384,28 +415,55 @@ def minhash_lsh_pairs(
     b = banded.alias("b")
     cand = (
         a.join(
-            b,
+            b.hint("shuffle_hash"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.doc") < F.col("b.doc")),
         )
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
+        # pair-count-sized; referenced by the pair stream AND (via
+        # ids_needed) by BOTH broadcast builds below — without persist
+        # the bucket join re-executes once per broadcast lineage
+        .persist(StorageLevel.MEMORY_ONLY)
     )
 
     # exact verify on candidates only (shingles materialized once —
-    # joined on both pair sides)
+    # joined on both pair sides).  r6: the full shingle-array table is
+    # first semi-joined down to the docs that occur in ANY candidate
+    # pair and THAT (candidate-doc-sized) table is broadcast onto the
+    # pair stream — previously both verify joins sort-merge-shuffled
+    # the whole corpus-sized array table to serve a pair list orders of
+    # magnitude smaller (2.6s -> 0.3s at sf1.0).  Near-dup candidate
+    # doc sets are dup-count-sized; at a scale where they stop fitting
+    # a broadcast, swap the two hints below for a shuffled join.
     sh = (
-        with_shingles(
+        _with_shingles_jvm(
             spread_scan(df.select(F.col(id_col).alias("doc"), F.col(text_col))),
             text_col, n,
         )
         .select("doc", "shingles")
         .persist(StorageLevel.MEMORY_ONLY)
     )
+    ids_needed = (
+        cand.select(F.col("doc_a").alias("doc"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc")))
+        .distinct()
+    )
+    arrs = sh.join(ids_needed.hint("broadcast"), "doc", "left_semi")
     verified = (
-        cand.join(sh.withColumnRenamed("doc", "doc_a").withColumnRenamed("shingles", "sh_a"), "doc_a")
-        .join(sh.withColumnRenamed("doc", "doc_b").withColumnRenamed("shingles", "sh_b"), "doc_b")
+        cand.join(
+            arrs.withColumnRenamed("doc", "doc_a")
+            .withColumnRenamed("shingles", "sh_a")
+            .hint("broadcast"),
+            "doc_a",
+        )
+        .join(
+            arrs.withColumnRenamed("doc", "doc_b")
+            .withColumnRenamed("shingles", "sh_b")
+            .hint("broadcast"),
+            "doc_b",
+        )
         .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn("n_union", F.size(F.array_union("sh_a", "sh_b")))
         .withColumn(
