@@ -760,12 +760,22 @@ def knn_for_queries(
         )
     )
     occ_cell = F.col("sc_n") / F.lit(float(_SUPER * _SUPER))
+    # khi0 factor re-swept in r6 (1M clustered e2e corpus, interleaved
+    # best-of-3, kernel already vectorized): factor 2.0 ships 3.48x of
+    # n at 12.8s; 1.5 ships 3.07x at 11.9s; 1.0 ships 2.67x at 11.9s
+    # with a doubled (but gate-trivial) brute tail; 3.0 ships 4.30x at
+    # 12.2s.  All converge in ONE round on both corpus shapes.  1.5 is
+    # the new default — same wall as 1.0 with more sparse-corpus
+    # margin; the env knob is for re-sweeping on new data shapes.
+    khi0_factor = float(os.environ.get("RINDEX_KHI0_FACTOR", "1.5"))
     khi0 = F.least(
         F.greatest(
             F.lit(1).cast("long"),
-            F.ceil(F.sqrt(F.lit(float(2 * k)) / F.greatest(occ_cell, F.lit(0.05)))).cast(
-                "long"
-            ),
+            F.ceil(
+                F.sqrt(
+                    F.lit(khi0_factor * k) / F.greatest(occ_cell, F.lit(0.05))
+                )
+            ).cast("long"),
         ),
         F.lit(_KHI0_CAP).cast("long"),
         F.lit(r_max).cast("long"),
