@@ -24,6 +24,8 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 from pyspark.sql import DataFrame, SparkSession
 
 BASE_TS = np.datetime64("2024-10-08T00:00:00")  # reference snapshot date
@@ -77,9 +79,10 @@ def coords_for_ids(ids: np.ndarray, dist: str = "clustered", seed: int = 0):
 
 
 def _body_words_batch(ids: np.ndarray, n_words: int = 24) -> list[str]:
-    """Vectorized deterministic word soup: one LCG step per word across
-    the whole batch (no per-row numpy calls — the generator must stream
-    millions of rows per task)."""
+    """Deterministic word soup, reference implementation: one LCG step
+    per word across the batch, then a per-row join.  Kept as the
+    byte-parity oracle for ``_body_words_arrow`` (r6) — the join loop
+    was 1.9s of a 3.2s 200k-row batch, so the hot path is Arrow now."""
     h = _splitmix64(ids.astype(np.uint64))
     words = np.asarray(_WORDS)
     cols = []
@@ -92,12 +95,33 @@ def _body_words_batch(ids: np.ndarray, n_words: int = 24) -> list[str]:
     return [" ".join(row) for row in mat]
 
 
+def _body_words_arrow(ids: np.ndarray, n_words: int = 24):
+    """Vectorized body builder (r6): same LCG word indices as
+    ``_body_words_batch``, but the strings never touch Python — each
+    word column is a dictionary take on the vocab and the space-join
+    is ONE pyarrow kernel over all columns (guide §4.2).  Byte-
+    identical by construction (same indices, same separator); measured
+    1.35s -> 0.19s per 200k rows."""
+    h = _splitmix64(ids.astype(np.uint64))
+    words_a = pa.array(_WORDS)
+    mul = np.uint64(6364136223846793005)
+    add = np.uint64(1442695040888963407)
+    nw = np.uint64(len(_WORDS))
+    parts = []
+    for _ in range(n_words):
+        h = h * mul + add  # uint64 wraps (mod 2^64)
+        parts.append(words_a.take(pa.array(((h >> np.uint64(33)) % nw).astype(np.int64))))
+    return pc.binary_join_element_wise(*parts, " ")
+
+
 _LANGS = ("en", "de", "fr", "es")
 
 
 def page_batch(ids: np.ndarray, dist: str, seed: int, n_hosts: int = 97) -> pd.DataFrame:
-    """Build one Arrow batch of pages for the given ids (fully
-    vectorized except the final string assembly)."""
+    """Build one batch of pages for the given ids — reference
+    implementation (per-row f-string assembly).  Kept as the
+    byte-parity oracle for ``page_batch_arrow`` (r6), which the
+    distributed generator uses."""
     ids = ids.astype(np.int64)
     x, y = coords_for_ids(ids.astype(np.uint64), dist=dist, seed=seed)
     # Zipf-ish host skew: inverse-quadratic ramp -> low host ids get
@@ -135,6 +159,62 @@ def page_batch(ids: np.ndarray, dist: str, seed: int, n_hosts: int = 97) -> pd.D
     )
 
 
+def page_batch_arrow(ids: np.ndarray, dist: str, seed: int, n_hosts: int = 97) -> pa.RecordBatch:
+    """Fully vectorized page builder (r6, guide §4.2): every string
+    column is assembled with ONE ``binary_join_element_wise`` kernel
+    over constant + per-row pieces; no per-row Python at all.  Byte-
+    identity with ``page_batch`` is pinned by test (including the
+    float coordinates: numpy's str() of a float64 is the same
+    shortest-round-trip decimal as Python's repr()).  2.6-3.0s ->
+    0.9-1.2s per 200k-row batch, and returning an Arrow RecordBatch
+    lets the generator use mapInArrow — no pandas object-array
+    round-trip on top."""
+    ids = ids.astype(np.int64)
+    x, y = coords_for_ids(ids.astype(np.uint64), dist=dist, seed=seed)
+    v = _splitmix64((ids + 7).astype(np.uint64)) % np.uint64(n_hosts * n_hosts)
+    hosts = (n_hosts - 1) - np.sqrt(v.astype(np.float64)).astype(np.int64)
+    body = _body_words_arrow(ids)
+    tss = (BASE_TS + ids.astype("timedelta64[s]")).astype("datetime64[us]")
+
+    ids_s = pa.array(ids.astype("U"))
+    hosts_s = pa.array(hosts.astype("U"))
+    lat_s = pa.array(y.astype("U32"))
+    lon_s = pa.array(x.astype("U32"))
+    url = pc.binary_join_element_wise(
+        pa.scalar("https://site"), hosts_s, pa.scalar(".example/page/"), ids_s, ""
+    )
+    title = pc.binary_join_element_wise(pa.scalar("Page "), ids_s, "")
+    html = pc.binary_join_element_wise(
+        pa.scalar(
+            '<!DOCTYPE html><html><head><meta charset="utf-8">'
+            '<meta name="geo.position" content="'
+        ),
+        lat_s,
+        pa.scalar(";"),
+        lon_s,
+        pa.scalar('"><title>'),
+        title,
+        pa.scalar("</title></head><body><h1>"),
+        title,
+        pa.scalar("</h1><p>"),
+        body,
+        pa.scalar("</p></body></html>"),
+        "",
+    )
+    text = pc.binary_join_element_wise(title, pa.scalar("\n"), title, pa.scalar("\n"), body, "")
+    return pa.RecordBatch.from_arrays(
+        [
+            url,
+            pa.array(tss),
+            pc.cast(html, pa.binary()),
+            text,
+            pa.array(np.asarray(_LANGS)[ids % 4]),
+            pa.array(ids),
+        ],
+        names=["url", "warc_ts", "html", "text", "lang", "page_id"],
+    )
+
+
 PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string, page_id long"
 
 
@@ -145,19 +225,21 @@ def generate_pages(
     seed: int = 0,
     partitions: int | None = None,
 ) -> DataFrame:
-    """Distributed page generation: spark.range -> mapInPandas.
+    """Distributed page generation: spark.range -> mapInArrow (r6; was
+    mapInPandas — the Arrow path skips the pandas object-array round
+    trip and uses the vectorized ``page_batch_arrow`` builder).
 
     Every row is a pure function of its id, so the output is identical
     under any partitioning — the generator itself scales with the
     cluster (no driver bottleneck)."""
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def gen(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
         for b in batches:
-            ids = b["id"].to_numpy(dtype=np.int64)
-            yield page_batch(ids, dist=dist, seed=seed)
+            ids = b.column("id").to_numpy(zero_copy_only=False).astype(np.int64)
+            yield page_batch_arrow(ids, dist=dist, seed=seed)
 
     rng = spark.range(0, n, 1, partitions or max(1, min(64, n // 10_000 + 1)))
-    return rng.mapInPandas(gen, schema=PAGES_SCHEMA)
+    return rng.mapInArrow(gen, schema=PAGES_SCHEMA)
 
 
 def generate_ops(n_steps: int, seed: int = 0, p_delete: float = 0.2) -> list[tuple]:
