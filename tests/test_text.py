@@ -140,6 +140,35 @@ def test_text_stats_columns(spark):
     assert rows[1]["n_tokens"] == 0 and rows[2]["n_tokens"] == 0
 
 
+def test_text_stats_char_class_counts_exact(spark):
+    """r6 guard: the translate-based class counts must equal a
+    character-by-character Python count on adversarial text (unicode
+    letters must NOT count as [a-zA-Z], astral chars must cancel out
+    of the subtraction, nulls stay null-safe zeros)."""
+    texts = [
+        "Hello, wörld 123 «ùñï» ..;;!? \t ok",
+        "ASCIIonly 0099 .,;:!?",
+        "ñöü日本語🙂🙂 no ascii digits",
+        "",
+        None,
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    rows = {r["id"]: r for r in with_text_stats(df).collect()}
+    alpha = set("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ")
+    for i, t in enumerate(texts):
+        r = rows[i]
+        if not t:
+            assert r["alpha_ratio"] == 0.0 and r["digit_ratio"] == 0.0
+            assert r["punct_ratio"] == 0.0
+            continue
+        n = len(t)
+        assert r["alpha_ratio"] == sum(c in alpha for c in t) / n
+        assert r["digit_ratio"] == sum(c in "0123456789" for c in t) / n
+        assert r["punct_ratio"] == sum(c in ".,;:!?" for c in t) / n
+
+
 def test_host_skew_is_zipfish(spark):
     """Low host ids must get quadratically more pages (the hot-key
     workload for salting)."""
