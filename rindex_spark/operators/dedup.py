@@ -214,15 +214,52 @@ def ngram_jaccard_pairs(
         )
         a = inv.alias("a")
         b = inv.alias("b")
-        inter_c = (
-            a.join(
-                b.hint("shuffle_hash"),
-                (F.col("a.shingle") == F.col("b.shingle"))
-                & (F.col("a.doc") < F.col("b.doc")),
-            )
-            .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-            .agg(F.count(F.lit(1)).alias("n_inter_c"))
+        # PACKED pair key (r6 round 2, guide §2.3 — shuffle fewer
+        # bytes): the candidate-pair aggregate is the one data-sized
+        # exchange of this operator (sum-of-df² rows).  When every doc
+        # id provably fits in 31 bits, (a << 32) | b is injective, so
+        # grouping by the single packed long and unpacking after the
+        # aggregate is exactly the two-column groupBy — one 8-byte key
+        # instead of two on every shuffled candidate row, and a
+        # single-long hash/compare in both partial and final hash
+        # aggregates.  The id bound costs one scalar aggregate over the
+        # already-persisted shingle table; out-of-range corpora (hashed
+        # ids, >2^31 docs) keep the two-column path.
+        id_bounds = sh.agg(
+            F.min("doc").alias("mn"), F.max("doc").alias("mx")
+        ).first()
+        pack_ok = (
+            id_bounds["mn"] is not None
+            and id_bounds["mn"] >= 0
+            and id_bounds["mx"] < (1 << 31)
         )
+        if pack_ok:
+            inter_c = (
+                a.join(
+                    b.hint("shuffle_hash"),
+                    (F.col("a.shingle") == F.col("b.shingle"))
+                    & (F.col("a.doc") < F.col("b.doc")),
+                )
+                .groupBy(
+                    (F.shiftleft(F.col("a.doc"), 32) + F.col("b.doc")).alias("pk")
+                )
+                .agg(F.count(F.lit(1)).alias("n_inter_c"))
+                .select(
+                    F.shiftright("pk", 32).alias("doc_a"),
+                    F.col("pk").bitwiseAND(F.lit(0xFFFFFFFF)).alias("doc_b"),
+                    "n_inter_c",
+                )
+            )
+        else:
+            inter_c = (
+                a.join(
+                    b.hint("shuffle_hash"),
+                    (F.col("a.shingle") == F.col("b.shingle"))
+                    & (F.col("a.doc") < F.col("b.doc")),
+                )
+                .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+                .agg(F.count(F.lit(1)).alias("n_inter_c"))
+            )
         ub_inter = F.col("n_inter_c") + F.least(F.col("h_a"), F.col("h_b"))
         survivors = (
             inter_c.join(

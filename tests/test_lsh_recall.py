@@ -94,6 +94,28 @@ def test_ngram_hot_shingle_guard_exact_under_skew(spark):
     assert guarded == exact
 
 
+def test_ngram_guard_packed_key_fallback_on_large_ids(spark):
+    """r6 guard: the candidate-pair aggregate packs (doc_a, doc_b)
+    into one long only when ids provably fit in 31 bits; ids beyond
+    that must take the two-column fallback and produce the SAME pairs
+    (checked via an id offset that crosses the 2^31 bound)."""
+    base = _planted_docs(spark, n_base=60, n_dup=20)
+    boiler = " subscribe to our newsletter for weekly updates and offers"
+    docs = base.withColumn("text", F.concat(F.col("text"), F.lit(boiler * 2))).cache()
+    off = 1 << 40
+    big = docs.withColumn("doc_id", F.col("doc_id") + F.lit(off))
+    small_pairs = {
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 12))
+        for r in ngram_jaccard_pairs(docs, threshold=0.7, max_df=50).collect()
+    }
+    big_pairs = {
+        (r["doc_a"] - off, r["doc_b"] - off, round(r["jaccard"], 12))
+        for r in ngram_jaccard_pairs(big, threshold=0.7, max_df=50).collect()
+    }
+    assert len(small_pairs) >= 20
+    assert big_pairs == small_pairs
+
+
 def test_simhash_pairs_equal_bruteforce(spark):
     docs = _planted_docs(spark).cache()
     hs = {r["doc"]: r["simhash"] for r in simhash64(docs).collect()}
