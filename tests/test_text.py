@@ -78,6 +78,37 @@ def test_points_from_pages_matches_pandas_extractor(spark):
     assert len(got) == 120  # 30 tagless pages dropped
 
 
+def test_points_from_pages_geo_match_selection_edge_cases(spark):
+    """Pins the two-group pattern's exact match selection on
+    adversarial html — empty groups, missing ';', multiple geo tags
+    where only a later one satisfies the two-group shape.  (Added
+    while evaluating a one-regex-pass rewrite, which was REJECTED:
+    Catalyst duplicates the shared match subtree per consumer — 30
+    regexp_extract occurrences in the plan — and measured 2x slower;
+    the test stays as the semantics guard.)"""
+    # NOTE: non-numeric matched content (e.g. "a;b;c") raises under
+    # ANSI cast in old AND new implementations alike — parity, but not
+    # expressible as an output row, so only castable/absent cases here.
+    htmls = [
+        (0, '<meta name="geo.position" content="1.5;-2.25">', (-2.25, 1.5)),
+        (2, '<meta name="geo.position" content="nolatlon">', None),
+        (3, '<meta name="geo.position" content=";5.0">', None),
+        (4, '<meta name="geo.position" content="5.0;">', None),
+        (5, '<title>no tag</title>', None),
+        (6, '<meta name="geo.position" content="abc">'
+            '<meta name="geo.position" content="1;2">', (2.0, 1.0)),
+        (7, '<meta name="geo.position" content=";x">'
+            '<meta name="geo.position" content="3;4">', (4.0, 3.0)),
+    ]
+    df = spark.createDataFrame(
+        [(i, f"u{i}", h.encode()) for i, h, _ in htmls],
+        "page_id long, url string, html binary",
+    )
+    got = {r["id"]: (r["x"], r["y"]) for r in points_from_pages(df).collect()}
+    want = {i: xy for i, _, xy in htmls if xy is not None}
+    assert got == want
+
+
 def test_generator_partition_invariance(spark):
     """The generator is a pure function of the row id: 1 partition and 7
     partitions must produce identical tables."""
