@@ -12,9 +12,11 @@ Distributed re-expression: iterative **cell-ring expansion** with the
 kNN math in vectorized Arrow UDFs (the north_star architecture):
 
 round r:
-  1. queries group by SUPERCELL (4x4 grid cells — grouping at cell
-     granularity ships each point 9x through Arrow; supercell halos cut
-     replication to ~2.3x and slash the per-group pandas overhead).
+  1. queries group by SUPERCELL (4x4 grid cells by default — grouping
+     at cell granularity pays per-group pandas overhead and ships each
+     point ~9x through Arrow; supercell halos amortize both, and the
+     side length balances kernel flops vs candidate replication, see
+     _SUPER below).
      Distinct (supercell, ring-window) keys explode to the supercell
      block DILATED by the ring radius (pure sequence/explode) and
      equi-join the points.
@@ -62,8 +64,18 @@ from pyspark.storagelevel import StorageLevel
 from rindex_spark.config import EngineConfig, GridSpec
 from rindex_spark.grid import ring_lower_bound, with_cells
 
-_SUPER = 8  # grid cells per supercell side (power of 2: >> 3)
-_SUPER_SHIFT = 3
+_SUPER = 4  # grid cells per supercell side (power of 2: >> 2)
+_SUPER_SHIFT = 2
+# r6: default supercell 8x8 -> 4x4 (RINDEX_SUPER_SHIFT re-sweeps it).
+# The kernel computes the FULL query x candidate matrix per dilated
+# supercell block, so flops/query scale with block area (S + 2*khi)^2
+# while shuffle replication scales with ((S + 2*khi)/S)^2: S=4 trades
+# ~2x candidate-row replication (cheap bytes) for ~2.8x fewer kernel
+# flops.  Interleaved best-of-N at 1M points: uniform-lattice events
+# 5.96s -> 4.03s (the kernel is ~100% of the round stage there);
+# clustered corpus statistically tied (8.05 vs 8.13 best-of-5).  S=16
+# measured 3x WORSE than S=8 (18s) — the flop blowup dominates long
+# before per-group overhead matters.
 
 # Safety rail on the density-derived INITIAL ring radius (in cells).
 # MEASURED (r3, 2M clustered docs, e2e pipeline): capping khi0 small
@@ -677,6 +689,10 @@ def knn_for_queries(
     extra_cols = tuple(extra_cols)
     n_extra = len(extra_cols)
     spark = points.sparkSession
+    # supercell side (cells) — read once per call so every round of one
+    # call agrees (the annulus trim's klo is interpreted in THIS scale)
+    _ss = int(os.environ.get("RINDEX_SUPER_SHIFT", str(_SUPER_SHIFT)))
+    _S = 1 << _ss
     out_schema = "qid long, id long, dist double, rank int"
     # k = 0 / empty index => empty result (rindex.rs:198-200), before any
     # config validation (the reference validates k only at construction).
@@ -742,8 +758,8 @@ def knn_for_queries(
     r_max = int(span / spec.cell_size) + 2
 
     pts = with_cells(points.select("id", "x", "y", *extra_cols), spec)
-    pts = pts.withColumn("sx", F.shiftright("ix", _SUPER_SHIFT)).withColumn(
-        "sy", F.shiftright("iy", _SUPER_SHIFT)
+    pts = pts.withColumn("sx", F.shiftright("ix", _ss)).withColumn(
+        "sy", F.shiftright("iy", _ss)
     )
 
     # initial ring radius per SUPERCELL, derived from local density: the
@@ -759,7 +775,7 @@ def knn_for_queries(
             F.col("sx").alias("scx"), F.col("sy").alias("scy"), "sc_n"
         )
     )
-    occ_cell = F.col("sc_n") / F.lit(float(_SUPER * _SUPER))
+    occ_cell = F.col("sc_n") / F.lit(float(_S * _S))
     # khi0 factor re-swept in r6 (1M clustered e2e corpus, interleaved
     # best-of-3, kernel already vectorized): factor 2.0 ships 3.48x of
     # n at 12.8s; 1.5 ships 3.07x at 11.9s; 1.0 ships 2.67x at 11.9s
@@ -794,8 +810,8 @@ def knn_for_queries(
             y="qy",
             prefix="q",
         )
-        .withColumn("sx", F.shiftright("qix", _SUPER_SHIFT))
-        .withColumn("sy", F.shiftright("qiy", _SUPER_SHIFT))
+        .withColumn("sx", F.shiftright("qix", _ss))
+        .withColumn("sy", F.shiftright("qiy", _ss))
         .join(
             F.broadcast(sc_counts),
             (F.col("sx") == F.col("scx")) & (F.col("sy") == F.col("scy")),
@@ -832,11 +848,16 @@ def knn_for_queries(
     # millions of points mean tens of thousands of supercell groups, and
     # Spark's per-group pandas machinery was ~95% of round CPU.  Buckets
     # keep each task's Arrow/pandas overhead O(1); the UDF slices
-    # subgroups out with one sort + searchsorted.  4x parallelism gives
-    # AQE room to balance without making buckets per-group-small again.
+    # subgroups out with one sort + searchsorted.  16x parallelism (r6:
+    # was 4x): with shuffle partitions at core count, 4 buckets per
+    # task is LUMPY — the round stage ran 2x-skewed (task runtime 68s /
+    # 32 tasks but 4.5s wall at 1M events); 16 buckets per task smooths
+    # the hash placement (interleaved A/B best-of-4: 6.25s -> 5.36s)
+    # while each bucket still holds thousands of queries, so the
+    # per-bucket slicing overhead stays noise.
     n_buckets = int(
         os.environ.get("RINDEX_KNN_BUCKETS", 0)
-    ) or max(64, spark.sparkContext.defaultParallelism * 4)
+    ) or max(64, spark.sparkContext.defaultParallelism * 16)
     # gk: the (supercell, window, salt) identity packed into ONE long
     # (xxhash64) — candidates ship 1 key column instead of 5 (40 of the
     # 64 bytes/row of the big shuffle side); see _fn on why collisions
@@ -869,7 +890,7 @@ def knn_for_queries(
             F.col("r_hi").alias("khi"),
             F.col("salt").alias("ksalt"),
         ).distinct()
-        halo = F.ceil(F.col("khi") / F.lit(_SUPER)).cast("long")
+        halo = F.ceil(F.col("khi") / F.lit(_S)).cast("long")
         cells = ring_keys.withColumn(
             "csx", F.explode(F.sequence(F.col("ksx") - halo, F.col("ksx") + halo))
         ).withColumn(
@@ -878,10 +899,10 @@ def knn_for_queries(
         # cell-exact trim of the supercell halo: keep only points within
         # Chebyshev khi CELLS of the supercell's member-cell range (the
         # union of every member query's needed annulus)
-        lo_x = F.col("ksx") * _SUPER - F.col("khi")
-        hi_x = F.col("ksx") * _SUPER + (_SUPER - 1) + F.col("khi")
-        lo_y = F.col("ksy") * _SUPER - F.col("khi")
-        hi_y = F.col("ksy") * _SUPER + (_SUPER - 1) + F.col("khi")
+        lo_x = F.col("ksx") * _S - F.col("khi")
+        hi_x = F.col("ksx") * _S + (_S - 1) + F.col("khi")
+        lo_y = F.col("ksy") * _S - F.col("khi")
+        hi_y = F.col("ksy") * _S + (_S - 1) + F.col("khi")
         # ANNULUS trim: drop the already-seen inner block [range +- klo].
         # Valid because (a) klo = each member query's own previous khi
         # (r_lo carries the prior window and is part of the group key),
@@ -891,10 +912,10 @@ def knn_for_queries(
         # top-k — so every inner-block point is already reflected in the
         # carried state and re-shipping it is pure waste.  Round 0
         # (klo = -1) keeps the full block.
-        seen_lo_x = F.col("ksx") * _SUPER - F.col("klo")
-        seen_hi_x = F.col("ksx") * _SUPER + (_SUPER - 1) + F.col("klo")
-        seen_lo_y = F.col("ksy") * _SUPER - F.col("klo")
-        seen_hi_y = F.col("ksy") * _SUPER + (_SUPER - 1) + F.col("klo")
+        seen_lo_x = F.col("ksx") * _S - F.col("klo")
+        seen_hi_x = F.col("ksx") * _S + (_S - 1) + F.col("klo")
+        seen_lo_y = F.col("ksy") * _S - F.col("klo")
+        seen_hi_y = F.col("ksy") * _S + (_S - 1) + F.col("klo")
         # qualified alias: frontier's subtree references pts (density
         # join), so this is a self-join from Catalyst's point of view
         cp = pts.alias("cp")
@@ -965,8 +986,8 @@ def knn_for_queries(
 
         next_frontier = (
             state.filter(~F.col("is_done"))
-            .withColumn("sx", F.shiftright("qix", _SUPER_SHIFT))
-            .withColumn("sy", F.shiftright("qiy", _SUPER_SHIFT))
+            .withColumn("sx", F.shiftright("qix", _ss))
+            .withColumn("sy", F.shiftright("qiy", _ss))
             .withColumn("r_lo", F.col("r_hi"))
             .withColumn(
                 # Ring jump: lb(R') >= R'*cs, so R' = floor(kth/cs)+1
