@@ -740,42 +740,45 @@ def _strip_ckpt_stats(df: DataFrame) -> DataFrame:
 
 
 def _local_contract(batches):
-    """Per-PARTITION union-find with min-root union (mapInPandas):
-    yields one (node, local_root) row per distinct node seen in the
+    """Per-PARTITION minimum-label contraction (mapInPandas): yields
+    one (node, local_min_root) row per distinct node seen in the
     partition's edges.  The (node -> root) star edges have the same
     transitive closure as the partition's raw edges, so feeding them
     to the iterative rounds is output-identical — but every locally
     -connected subgraph collapses to diameter 1 before the first
-    shuffle, and the edge volume drops from |E| to |V_local|.  Memory
-    is O(distinct nodes per partition) (a dict) — bounded by the input
-    partition size exactly like any per-task hash aggregate."""
-    parent: dict = {}
+    shuffle, and the edge volume drops from |E| to |V_local|.
 
-    def find(x):
-        r = x
-        while parent[r] != r:
-            r = parent[r]
-        while parent[x] != r:
-            parent[x], x = r, parent[x]
-        return r
-
+    r6 round 3: the per-edge Python union-find (dict find/union per
+    row) was ~45% of the bench entry's wall (1.8s of 3.8s at 875k
+    edges — guide §4.2: no per-row Python).  Replaced by vectorized
+    min-label propagation with pointer jumping: per iteration, one
+    np.minimum.at scatter per edge direction + two label-of-label
+    hops, until fixpoint.  Reach at least doubles per iteration, so
+    iterations are O(log local-diameter); each is O(E) numpy.  The
+    fixpoint (per node, the minimum node id reachable inside the
+    partition's subgraph) is exactly the union-find's min-root —
+    labels are indices into the SORTED node array, so index order is
+    id order.  Memory O(distinct nodes + edges per partition), the
+    same bound as before."""
+    As, Bs = [], []
     for b in batches:
-        for x, y in zip(b["a"].to_numpy(), b["b"].to_numpy()):
-            if x not in parent:
-                parent[x] = x
-            if y not in parent:
-                parent[y] = y
-            rx, ry = find(x), find(y)
-            if rx != ry:
-                if rx < ry:
-                    parent[ry] = rx
-                else:
-                    parent[rx] = ry
-    nodes = np.fromiter(parent.keys(), dtype=np.int64, count=len(parent))
-    roots = np.fromiter(
-        (find(int(n)) for n in nodes), dtype=np.int64, count=len(nodes)
-    )
-    yield pd.DataFrame({"a": nodes, "b": roots})
+        As.append(b["a"].to_numpy(dtype=np.int64))
+        Bs.append(b["b"].to_numpy(dtype=np.int64))
+    a = np.concatenate(As) if As else np.empty(0, dtype=np.int64)
+    b_ = np.concatenate(Bs) if Bs else np.empty(0, dtype=np.int64)
+    nodes, inv = np.unique(np.concatenate([a, b_]), return_inverse=True)
+    ia, ib = inv[: len(a)], inv[len(a):]
+    lbl = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        new = lbl.copy()
+        np.minimum.at(new, ia, lbl[ib])
+        np.minimum.at(new, ib, lbl[ia])
+        new = new[new]
+        new = new[new]
+        if np.array_equal(new, lbl):
+            break
+        lbl = new
+    yield pd.DataFrame({"a": nodes, "b": nodes[lbl]})
 
 
 def connected_components(

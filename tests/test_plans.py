@@ -39,7 +39,18 @@ def test_text_stats_is_whole_stage_codegen(spark):
     path entirely JVM-side."""
     from rindex_spark.functions.text import with_text_stats
 
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # r6: with_text_stats spreads a LOW-partition input (an Exchange
+    # AQE then wraps, hiding codegen markers pre-execution), so feed it
+    # an input already at session parallelism — the spread guard is a
+    # no-op and the plan is the bare stats projection, which is what
+    # this test is about.
+    par = spark.sparkContext.defaultParallelism
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .repartition(par)
+        .localCheckpoint()
+    )
+    assert docs.rdd.getNumPartitions() >= par
     q = with_text_stats(docs).select("doc_id", "n_tokens", "quality_score")
     plan = _plan(q)
     # `*(N)` node prefixes mark whole-stage-codegen stages in the
