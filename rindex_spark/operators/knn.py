@@ -520,8 +520,24 @@ def _small_frontier_knn(
     full scan is a few hundred numpy flops per point.
 
     frontier_rows: collected rows with qid/qx/qy (driver-scale by
-    contract: callers gate on a flop budget).  Returns
-    (qid, id, dist, rank)."""
+    contract: callers gate on a flop budget), plus optionally cnt/kth —
+    the straggler's carried state from the ring rounds.  Returns
+    (qid, id, dist, rank).
+
+    r6 round 3 — carried-bound box prune: a straggler with cnt >= k
+    already holds k true candidates whose k-th distance ``kth`` is an
+    UPPER bound on its true k-th distance (merging more points only
+    lowers it), so any point with |px-qx| > kth or |py-qy| > kth can
+    never enter its top-k (a point at dist == kth CAN displace a
+    same-dist larger id and is kept — bounds are inclusive, dilated a
+    relative 1e-9 to dominate any f64 rounding chain).  The scan sorts
+    each partition by x once and resolves each spatially-sorted query
+    chunk against only the points inside the chunk's kth-dilated
+    bounding box (searchsorted x-slice + y mask) — measured 60s of
+    scan CPU -> ~2s for the 1342-straggler clustered 1M build, output
+    identical (the pruned points are provably outside every chunk
+    member's top-k; queries with cnt < k keep the full scan)."""
+    nq_all = len(frontier_rows)
     qid = np.array([r["qid"] for r in frontier_rows], dtype=np.int64)
     qx = np.array([r["qx"] for r in frontier_rows], dtype=np.float64)
     qy = np.array([r["qy"] for r in frontier_rows], dtype=np.float64)
@@ -533,6 +549,22 @@ def _small_frontier_knn(
         if n_extra
         else None
     )
+    # per-query upper bound on the true k-th distance (inf = no bound)
+    kth_ub = np.full(nq_all, np.inf)
+    try:
+        cnt_a = np.array([r["cnt"] for r in frontier_rows], dtype=np.int64)
+        kth_a = np.array([r["kth"] for r in frontier_rows], dtype=np.float64)
+        has = cnt_a >= k
+        kth_ub[has] = kth_a[has]
+    except Exception:
+        pass  # rows without carried state: unbounded scan
+    # spatial chunking: bounded queries sorted by (x, y) so chunk boxes
+    # stay tight; unbounded (inf) queries go LAST in their own chunks
+    # so one of them never widens a bounded chunk to a full scan
+    qord = np.lexsort((qy, qx, ~np.isfinite(kth_ub)))
+    qid, qx, qy, kth_ub = qid[qord], qx[qord], qy[qord], kth_ub[qord]
+    if n_extra:
+        qe = qe[qord]
 
     def scan(batches):
         # per-partition running top-k per query
@@ -549,20 +581,41 @@ def _small_frontier_knn(
                 if n_extra
                 else None
             )
-            order = np.argsort(pid, kind="stable")
+            # sort by x for the box prune's searchsorted slice.  The
+            # point order never affects output: the pool predicate
+            # d <= pmax is position-independent, the tie-widened path
+            # takes ALL boundary ties, and the final (dist, id) lexsort
+            # canonicalizes order.
+            order = np.argsort(px, kind="stable")
             px, py, pid = px[order], py[order], pid[order]
             if n_extra:
                 pe = pe[order]
             for s in range(0, len(qid), 128):
                 e = min(s + 128, len(qid))
-                d = qx[s:e, None] - px[None, :]
+                M = float(kth_ub[s:e].max())
+                if np.isfinite(M):
+                    # inclusive box, dilated to dominate rounding
+                    Me = M * (1.0 + 1e-9) + 1e-300
+                    lo = int(np.searchsorted(px, qx[s:e].min() - Me, "left"))
+                    hi = int(np.searchsorted(px, qx[s:e].max() + Me, "right"))
+                    ym = (py[lo:hi] >= qy[s:e].min() - Me) & (
+                        py[lo:hi] <= qy[s:e].max() + Me
+                    )
+                    sel = np.nonzero(ym)[0] + lo
+                    if not len(sel):
+                        continue
+                    cx_, cy_, ci_ = px[sel], py[sel], pid[sel]
+                    ce_ = pe[sel] if n_extra else None
+                else:
+                    cx_, cy_, ci_, ce_ = px, py, pid, pe
+                d = qx[s:e, None] - cx_[None, :]
                 np.multiply(d, d, out=d)
-                dy = qy[s:e, None] - py[None, :]
+                dy = qy[s:e, None] - cy_[None, :]
                 np.multiply(dy, dy, out=dy)
                 d += dy
                 del dy
                 for j in range(n_extra):
-                    dj = qe[s:e, j][:, None] - pe[:, j][None, :]
+                    dj = qe[s:e, j][:, None] - ce_[:, j][None, :]
                     np.multiply(dj, dj, out=dj)
                     d += dj
                     del dj
@@ -578,7 +631,7 @@ def _small_frontier_knn(
                 for r in range(e - s):
                     idxs = np.nonzero(d[r] <= pmax[r])[0] if wide[r] else part[r]
                     dd = d[r][idxs]
-                    ii = pid[idxs]
+                    ii = ci_[idxs]
                     o = np.lexsort((ii, dd))[:kk]
                     dd, ii = dd[o], ii[o]
                     if len(best_d[s + r]):
@@ -1035,8 +1088,11 @@ def knn_for_queries(
         # even when the point set is tiny (flop gate alone would admit
         # multi-million-row collects).
         if (n_left * ext["n"] <= 4e9 and n_left <= 200_000) or n_left <= 512:
+            # cnt/kth ride along: a straggler's carried k-th distance
+            # is the exact box-prune bound for the brute scan
             rows = next_frontier.select(
-                "qid", "qx", "qy", *[f"qe{i}" for i in range(n_extra)]
+                "qid", "qx", "qy", "cnt", "kth",
+                *[f"qe{i}" for i in range(n_extra)],
             ).collect()
             finished_parts.append(
                 _small_frontier_knn(points, rows, k, extra_cols=extra_cols)
