@@ -619,6 +619,14 @@ def embedding_near_dup(
         )
         .select(F.col("a.vid").alias("id_a"), F.col("b.vid").alias("id_b"))
         .distinct()
+        # r6 round 3: AQE coalesces the distinct's exchange by BYTES,
+        # but the stage it feeds (vector joins + pair_cosine refine) is
+        # CPU-heavy per byte — a few-MB pair list collapsed to 4 of 32
+        # cores (refine stage 0.8-1.5s wall at 20k pairs).  A fixed-
+        # count repartition of the 16 B/pair id stream is the cheapest
+        # way to pin the refine at cluster parallelism; at web scale it
+        # lays the pair stream out in one uniform wave.
+        .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
     )
     scored = (
         cand.join(
