@@ -120,6 +120,48 @@ def with_shingles(
     return df.withColumn(out, sh(F.col(text_col)))
 
 
+def _exploded_grams(
+    df: DataFrame, text_col: str, n: int, id_col: str | None = None
+) -> DataFrame:
+    """(id?, gram) pair rows straight from one mapInPandas pass —
+    byte-identical row multiset to
+    ``with_shingles(df).select(id, explode(shingles))`` (same
+    ``_shingle_list`` per text, empty lists contribute no rows).
+
+    r6 round 3: exploding an ArrowEvalPython-PRODUCED array column is
+    ~4x slower than this shape (measured 2.54s vs 0.65s for the 2.6M
+    -gram corpus at 32 cores; a JVM-built split() array explodes in
+    0.3s, so the cost is the Arrow list column crossing into the
+    Generate, not explode itself).  Emitting the flattened pairs
+    directly from Python skips that conversion entirely; downstream
+    consumers are joins/aggregates, so row order is irrelevant."""
+    from rindex_spark.plans.scan import spread_scan
+
+    cols = ([id_col] if id_col else []) + [text_col]
+    src = spread_scan(df.select(*cols))
+
+    if id_col:
+
+        def fn(batches):
+            for b in batches:
+                ids = b[id_col].to_numpy()
+                lists = [_shingle_list(t, n) for t in b[text_col]]
+                lens = np.array([len(x) for x in lists], dtype=np.int64)
+                flat = [g for lst in lists for g in lst]
+                yield pd.DataFrame(
+                    {id_col: np.repeat(ids, lens), "gram": pd.Series(flat, dtype=object)}
+                )
+
+        return src.mapInPandas(fn, f"{id_col} long, gram string")
+
+    def fn(batches):
+        for b in batches:
+            flat = [g for t in b[text_col] for g in _shingle_list(t, n)]
+            yield pd.DataFrame({"gram": pd.Series(flat, dtype=object)})
+
+    return src.mapInPandas(fn, "gram string")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     threshold: float = 0.5,
@@ -182,7 +224,14 @@ def ngram_jaccard_pairs(
         # on the 5k-doc skew bench)
         .persist(StorageLevel.MEMORY_ONLY)
     )
-    inv = sh.select("doc", F.explode("shingles").alias("shingle"))
+    # inverted index straight from a mapInPandas shingle pass (r6 r3):
+    # same (doc, shingle) multiset as exploding sh's arrays, without
+    # the slow Arrow-array Generate (see _exploded_grams); re-running
+    # the Python pass per consumer costs less than one such explode.
+    inv = _exploded_grams(
+        df.select(F.col(id_col).alias("doc"), F.col(text_col)),
+        text_col, n, id_col="doc",
+    ).withColumnRenamed("gram", "shingle")
     if max_df is not None:
         hot = (
             inv.groupBy("shingle")
@@ -675,18 +724,18 @@ def benchmark_contamination(
     returns (``id_col``, n_hits) for every doc with
     n_hits >= min_hits; ``decontaminate`` drops them.
     """
-    bg = (
-        with_shingles(
-            spread_scan(benchmark.select(F.col(bench_text_col).alias("__t"))), "__t", n
-        )
-        .select(F.explode("shingles").alias("gram"))
-        .distinct()
-    )
+    # r6 round 3: gram pairs emitted straight from the shingle pass
+    # (_exploded_grams) — the former explode over the Arrow-produced
+    # array column was ~4x the cost of the whole pass (see the helper).
+    bg = _exploded_grams(
+        benchmark.select(F.col(bench_text_col).alias("__t")), "__t", n
+    ).distinct()
     if broadcast_benchmark:
         bg = F.broadcast(bg)
-    dg = with_shingles(
-        spread_scan(docs.select(F.col(id_col), F.col(text_col).alias("__t"))), "__t", n
-    ).select(id_col, F.explode("shingles").alias("gram"))
+    dg = _exploded_grams(
+        docs.select(F.col(id_col), F.col(text_col).alias("__t")), "__t", n,
+        id_col=id_col,
+    )
     return (
         dg.join(bg, "gram")
         .groupBy(id_col)

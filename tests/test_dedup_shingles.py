@@ -86,3 +86,42 @@ def test_shingles_match_old_jvm_chain_corpus(spark):
             .count()
         )
         assert diff == 0, f"n={n}: {diff} docs differ"
+
+
+def test_exploded_grams_matches_explode_of_with_shingles(spark):
+    """_exploded_grams must emit EXACTLY the row multiset of
+    with_shingles + explode (the slow shape it replaces), on the edge
+    texts and the real corpus, with and without an id column."""
+    from collections import Counter
+
+    from rindex_spark.operators.dedup import _exploded_grams, with_shingles
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(EDGE_TEXTS)], "doc long, text string"
+    )
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").select(
+        F.col("doc_id").alias("doc"), "text"
+    )
+    for src in (df, docs):
+        for n in (3, 8):
+            old = Counter(
+                (r["doc"], r["g"])
+                for r in with_shingles(src, "text", n)
+                .select("doc", F.explode("shingles").alias("g"))
+                .collect()
+            )
+            new = Counter(
+                (r["doc"], r["gram"])
+                for r in _exploded_grams(src, "text", n, id_col="doc").collect()
+            )
+            assert old == new, f"n={n}"
+            old_noid = Counter(
+                r["g"]
+                for r in with_shingles(src, "text", n)
+                .select(F.explode("shingles").alias("g"))
+                .collect()
+            )
+            new_noid = Counter(
+                r["gram"] for r in _exploded_grams(src, "text", n).collect()
+            )
+            assert old_noid == new_noid, f"n={n} (no id)"
